@@ -1,0 +1,194 @@
+"""Block-tridiagonal quasidefinite KKT factorization and solve.
+
+TPU-native equivalent of the reference's sparse symmetric-indefinite
+LDL' (MUMPS under Ipopt — SURVEY.md §2.2 C10): the OBCA NLP's KKT
+system, ordered stage-wise, is block-tridiagonal
+
+    T = [ K_0  E_0            ]
+        [ E_0' K_1  E_1       ]
+        [      E_1' K_2  ...  ]
+
+with nz x nz dense blocks (nz ~ 56 for 3 obstacles).  The interior-point
+layer regularizes every diagonal block to symmetric *quasidefinite* form
+(primal block + delta_w I positive, dual block <= -delta_c), for which a
+fixed-order block-Thomas elimination is stable without pivoting
+(Vanderbei 1995; same property modern IPM codes rely on).
+
+Forward elimination (a Riccati-like backward pass run forward in k):
+    S_0 = K_0,   S_k = K_k - E_{k-1}' S_{k-1}^{-1} E_{k-1}
+Solve:
+    yhat_0 = r_0,          yhat_k = r_k - E_{k-1}' S_{k-1}^{-1} yhat_{k-1}
+    x_{S-1} = S_{S-1}^{-1} yhat_{S-1}
+    x_k = S_k^{-1} yhat_k - W_{k+1} x_{k+1},   W_k := S_{k-1}^{-1} E_{k-1}
+
+Explicit inverses are stored so every step of the back pass is a batched
+small matmul (MXU-friendly); `solve_refined` adds iterative refinement
+for low-precision factorizations (SURVEY.md §7 hard part 1).
+
+Everything is per-scenario; batch via `jax.vmap` from the caller.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BlockTriFactor(NamedTuple):
+    Sinv: jax.Array  # [S, nz, nz]  inverses of the Schur complements
+    W: jax.Array     # [S-1, nz, nz] W_k = S_{k-1}^{-1} E_{k-1}
+    E: jax.Array     # [S-1, nz, nz] the off-diagonal blocks (for matvec)
+
+
+def spd_inv(A):
+    """Explicit inverse of a symmetric positive-definite matrix via
+    recursive 2x2 block Schur complements — pure matmuls, no LU/Cholesky
+    primitives (the TPU backend only implements those for f32, and
+    matmul-only code is what the MXU wants).  Static-shape recursion,
+    unrolled at trace time; numerically equivalent to block Cholesky.
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return 1.0 / A
+    if n == 2:
+        a = A[..., 0, 0]
+        b = A[..., 0, 1]
+        d = A[..., 1, 1]
+        det = a * d - b * b
+        inv = jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-b, a], -1)], -2
+        )
+        return inv / det[..., None, None]
+    k = n // 2
+    A11 = A[..., :k, :k]
+    A12 = A[..., :k, k:]
+    A22 = A[..., k:, k:]
+    I11 = spd_inv(A11)
+    B12 = I11 @ A12                                   # A11^{-1} A12
+    S = A22 - jnp.swapaxes(A12, -1, -2) @ B12         # SPD Schur
+    IS = spd_inv(S)
+    off = -B12 @ IS
+    top = I11 + B12 @ IS @ jnp.swapaxes(B12, -1, -2)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([top, off], axis=-1),
+            jnp.concatenate([jnp.swapaxes(off, -1, -2), IS], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def qd_inv(S, nw: int):
+    """Explicit inverse of a symmetric *quasidefinite* matrix
+    S = [[A, B], [B', D]] with A (nw x nw) positive definite and D
+    negative definite (the IPM guarantees this by regularization;
+    Vanderbei 1995 guarantees stability of the fixed-order elimination).
+    """
+    A = S[..., :nw, :nw]
+    B = S[..., :nw, nw:]
+    D = S[..., nw:, nw:]
+    Dinv = -spd_inv(-D)
+    BD = B @ Dinv
+    Sc = A - BD @ jnp.swapaxes(B, -1, -2)             # SPD
+    Scinv = spd_inv(Sc)
+    X12 = -Scinv @ BD
+    X22 = Dinv + jnp.swapaxes(BD, -1, -2) @ Scinv @ BD
+    return jnp.concatenate(
+        [
+            jnp.concatenate([Scinv, X12], axis=-1),
+            jnp.concatenate([jnp.swapaxes(X12, -1, -2), X22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def factor(K, E, nw: int | None = None) -> BlockTriFactor:
+    """Factor the block-tridiagonal matrix given diagonal blocks
+    K [S, nz, nz] and upper off-diagonal blocks E [S-1, nz, nz].
+
+    `nw` is the size of the positive (primal) part of each quasidefinite
+    diagonal block; if None, the dense LU inverse is used (CPU only —
+    the TPU backend lacks f64 LU).
+    """
+    inv = (lambda M: qd_inv(M, nw)) if nw is not None else jnp.linalg.inv
+    Sinv0 = inv(K[0])
+
+    def body(Sinv_prev, inputs):
+        K_k, E_prev = inputs
+        W_k = Sinv_prev @ E_prev
+        S_k = K_k - jnp.swapaxes(E_prev, -1, -2) @ W_k
+        Sinv_k = inv(S_k)
+        return Sinv_k, (Sinv_k, W_k)
+
+    _, (Sinv_rest, W) = jax.lax.scan(body, Sinv0, (K[1:], E))
+    Sinv = jnp.concatenate([Sinv0[None], Sinv_rest], axis=0)
+    return BlockTriFactor(Sinv=Sinv, W=W, E=E)
+
+
+def solve(fac: BlockTriFactor, r):
+    """Solve T x = r for r [S, nz] given a factorization."""
+    Sinv, W, E = fac
+
+    def fwd(yprev_solved, inputs):
+        # yprev_solved = S_{k-1}^{-1} yhat_{k-1}
+        r_k, E_prev, Sinv_k = inputs
+        yhat_k = r_k - jnp.swapaxes(E_prev, -1, -2) @ yprev_solved
+        y_k = Sinv_k @ yhat_k
+        return y_k, y_k
+
+    y0 = Sinv[0] @ r[0]
+    _, ys = jax.lax.scan(fwd, y0, (r[1:], E, Sinv[1:]))
+    y = jnp.concatenate([y0[None], ys], axis=0)  # y_k = S_k^{-1} yhat_k
+
+    def bwd(x_next, inputs):
+        y_k, W_next = inputs
+        x_k = y_k - W_next @ x_next
+        return x_k, x_k
+
+    xS = y[-1]
+    _, xs = jax.lax.scan(bwd, xS, (y[:-1], W), reverse=True)
+    return jnp.concatenate([xs, xS[None]], axis=0)
+
+
+def matvec(K, E, x):
+    """Block-tridiagonal matvec T x for x [S, nz]."""
+    Et = jnp.swapaxes(E, -1, -2)
+    out = jnp.einsum("kij,kj->ki", K, x)
+    out = out.at[:-1].add(jnp.einsum("kij,kj->ki", E, x[1:]))
+    out = out.at[1:].add(jnp.einsum("kij,kj->ki", Et, x[:-1]))
+    return out
+
+
+def solve_refined(K, E, fac: BlockTriFactor, r, iters: int = 1,
+                  residual_dtype=None):
+    """Solve with iterative refinement: the factorization may be in a
+    lower precision; residuals are computed in `residual_dtype`
+    (default: r.dtype) and corrections re-solved with the same factors.
+    """
+    rd = residual_dtype or r.dtype
+    x = solve(fac, r)
+
+    def body(x, _):
+        res = r.astype(rd) - matvec(K.astype(rd), E.astype(rd),
+                                    x.astype(rd))
+        dx = solve(fac, res.astype(x.dtype))
+        return x + dx, None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
+
+
+def dense_from_blocks(K, E):
+    """Materialize the dense matrix (tests / small-N debugging only)."""
+    S, nz, _ = K.shape
+    T = jnp.zeros((S * nz, S * nz), K.dtype)
+    for k in range(S):
+        T = T.at[k * nz:(k + 1) * nz, k * nz:(k + 1) * nz].set(K[k])
+    for k in range(S - 1):
+        T = T.at[k * nz:(k + 1) * nz,
+                 (k + 1) * nz:(k + 2) * nz].set(E[k])
+        T = T.at[(k + 1) * nz:(k + 2) * nz,
+                 k * nz:(k + 1) * nz].set(E[k].T)
+    return T

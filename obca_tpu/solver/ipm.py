@@ -1,0 +1,507 @@
+"""Batched primal-dual interior-point solver for the OBCA NLP.
+
+TPU-native replacement for Ipopt (SURVEY.md §2.2 C9, §3.1 hot loop #1):
+an Ipopt-shaped monotone-barrier primal-dual interior-point method —
+log barrier on bounds and inequality slacks, fraction-to-boundary rule,
+merit-function backtracking line search, primal-dual (quasidefinite)
+regularization with adaptive inertia bumping, and a Fiacco-McCormick
+barrier schedule — re-designed for batched fixed-shape execution:
+
+  * the whole solve runs inside one `jit` as a `lax.fori_loop` with a
+    fixed iteration cap and per-scenario convergence masks (a converged
+    scenario is frozen, not exited — SPMD-friendly);
+  * the Newton system is the stage-wise block-tridiagonal KKT from
+    `obca_tpu.nlp`, solved by `obca_tpu.solver.blocktri` (the MUMPS
+    replacement);
+  * scenarios batch via `jax.vmap`; one diverging instance cannot
+    poison its neighbours (NaN guard + masking, SURVEY.md §5 failure
+    detection);
+  * float64 on CPU doubles as the golden oracle (the Ipopt stand-in,
+    SURVEY.md §4.1); float32(+refinement) is the TPU fast path.
+
+Status codes: 0 = converged, 1 = running/max-iter, 2 = NaN-guarded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from obca_tpu import nlp
+from obca_tpu.solver import blocktri
+from obca_tpu.spec import ProblemSpec, SolverConfig
+
+STATUS_CONVERGED = 0
+STATUS_RUNNING = 1
+STATUS_NAN = 2
+
+
+class IpmState(NamedTuple):
+    W: jax.Array        # [N+1, nw] primal stage variables
+    nu: jax.Array       # [N+1, nc] constraint multipliers (ineq: -y)
+    s: jax.Array        # [N+1, nc] slacks (1 on non-ineq rows)
+    zL: jax.Array       # [N+1, nw] lower-bound duals
+    zU: jax.Array       # [N+1, nw] upper-bound duals
+    mu: jax.Array       # [] barrier parameter
+    delta_w: jax.Array  # [] adaptive primal regularization
+    converged: jax.Array  # [] bool
+    nan_fail: jax.Array   # [] bool (last step was NaN-guarded)
+    iters: jax.Array      # [] int32
+    err: jax.Array        # [] scaled KKT error (mu = 0)
+
+
+class SolveResult(NamedTuple):
+    W: jax.Array
+    nu: jax.Array
+    X: jax.Array         # [N+1, 4] states
+    U: jax.Array         # [N, 2] controls
+    tau: jax.Array       # [] time scaling (tau_0)
+    obj: jax.Array
+    err: jax.Array
+    iters: jax.Array
+    status: jax.Array
+    mu: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class _Static:
+    """Precomputed per-spec constants (closed over by the jitted solve)."""
+
+    L: nlp.Layout
+
+
+def _masks_and_bounds(L, spec):
+    active, is_eq = nlp.constraint_masks(L, spec)
+    eq_row = active * is_eq[None, :]
+    in_row = active * (1.0 - is_eq)[None, :]
+    lo, hi, has_lo, has_hi, _pin = nlp.bound_arrays(L, spec)
+    return active, eq_row, in_row, lo, hi, has_lo, has_hi
+
+
+def default_init(spec: ProblemSpec, dtype=None):
+    """Cold-start warm start: interpolated states + geometric duals
+    (SURVEY.md §2.2 C8 — the dual init is essential: with symmetric
+    lam the norm-constraint Jacobian row vanishes and the Newton system
+    is singular)."""
+    from obca_tpu.warmstart import geometric
+
+    return geometric.warm_start(spec, dtype=dtype)
+
+
+def _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
+           has_lo, has_hi):
+    f = nlp.objective(L, W, spec)
+    c = nlp.all_constraints(L, W, spec)
+    slo = jnp.where(has_lo[None, :] > 0, W - lo[None, :], 1.0)
+    shi = jnp.where(has_hi[None, :] > 0, hi[None, :] - W, 1.0)
+    good = (jnp.all(slo > 0) & jnp.all(shi > 0)
+            & jnp.all(jnp.where(in_row > 0, s, 1.0) > 0))
+    bar = (
+        jnp.sum(jnp.log(jnp.maximum(slo, 1e-300)) * (has_lo[None, :] > 0))
+        + jnp.sum(jnp.log(jnp.maximum(shi, 1e-300)) * (has_hi[None, :] > 0))
+        + jnp.sum(jnp.log(jnp.maximum(s, 1e-300)) * in_row)
+    )
+    infeas = (jnp.sum(jnp.abs(c) * eq_row)
+              + jnp.sum(jnp.abs(c - s) * in_row))
+    phi = f - mu * bar + rho * infeas
+    return jnp.where(good, phi, jnp.inf)
+
+
+def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
+               debug: bool = False):
+    """Build (initial state, step function) for one OBCA instance."""
+    L = nlp.layout_of(spec)
+    dt = cfg.dtype
+    spec = jax.tree.map(lambda x: x.astype(dt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                        spec)
+    active, eq_row, in_row, lo, hi, has_lo, has_hi = \
+        _masks_and_bounds(L, spec)
+    active = active.astype(dt)
+    eq_row, in_row = eq_row.astype(dt), in_row.astype(dt)
+    Np1 = L.N + 1
+
+    if W0 is None:
+        W0 = default_init(spec, dt)
+    W0 = W0.astype(dt)
+
+    mu0 = cfg.mu_init.astype(dt)
+    c0 = nlp.all_constraints(L, W0, spec)
+    s0 = jnp.where(in_row > 0, jnp.maximum(c0, 1e-2), 1.0)
+    nu0 = jnp.where(in_row > 0, -mu0 / s0, 0.0)
+    zL0 = jnp.where(has_lo[None, :] > 0,
+                    mu0 / jnp.maximum(W0 - lo[None, :], 1e-4), 0.0)
+    zU0 = jnp.where(has_hi[None, :] > 0,
+                    mu0 / jnp.maximum(hi[None, :] - W0, 1e-4), 0.0)
+
+    state0 = IpmState(
+        W=W0, nu=nu0, s=s0, zL=zL0, zU=zU0, mu=mu0,
+        delta_w=cfg.delta_w.astype(dt),
+        converged=jnp.asarray(False),
+        nan_fail=jnp.asarray(False),
+        iters=jnp.asarray(0, jnp.int32),
+        err=jnp.asarray(jnp.inf, dt),
+    )
+
+    grad_lag = jax.grad(
+        lambda W, nu: nlp.total_lagrangian(L, W, nu, spec, active)
+    )
+
+    def kkt_error(W, nu, s, zL, zU, mu):
+        c = nlp.all_constraints(L, W, spec)
+        y = -nu
+        rw = grad_lag(W, nu) - zL + zU
+        r_pri = jnp.abs(c) * eq_row + jnp.abs(c - s) * in_row
+        comp_s = jnp.abs(s * y - mu) * in_row
+        comp_l = jnp.abs((W - lo[None, :]) * zL - mu) * (has_lo[None, :] > 0)
+        comp_u = jnp.abs((hi[None, :] - W) * zU - mu) * (has_hi[None, :] > 0)
+        # Ipopt-style dual scaling guard against huge multipliers.
+        s_d = jnp.maximum(
+            1.0,
+            (jnp.sum(jnp.abs(nu)) + jnp.sum(zL) + jnp.sum(zU))
+            / (nu.size + 2 * zL.size) / 100.0,
+        )
+        return jnp.maximum(
+            jnp.max(jnp.abs(rw)) / s_d,
+            jnp.maximum(
+                jnp.max(r_pri),
+                jnp.maximum(jnp.max(comp_s),
+                            jnp.maximum(jnp.max(comp_l), jnp.max(comp_u))),
+            ),
+        )
+
+    def step(state: IpmState) -> IpmState:
+        W, nu, s, zL, zU, mu = (state.W, state.nu, state.s, state.zL,
+                                state.zU, state.mu)
+        y = jnp.where(in_row > 0, -nu, 1.0)
+
+        # --- barrier update (monotone Fiacco-McCormick) ---
+        err_mu = kkt_error(W, nu, s, zL, zU, mu)
+        do_mu = (err_mu <= cfg.kappa_eps * mu) & (mu > cfg.mu_min)
+        mu_new = jnp.maximum(
+            cfg.mu_min.astype(dt),
+            jnp.minimum(cfg.mu_kappa * mu, mu ** cfg.mu_theta),
+        )
+        mu = jnp.where(do_mu, mu_new, mu)
+
+        # --- assemble KKT ---
+        slo = jnp.where(has_lo[None, :] > 0, W - lo[None, :], 1.0)
+        shi = jnp.where(has_hi[None, :] > 0, hi[None, :] - W, 1.0)
+        sigma_w = (jnp.where(has_lo[None, :] > 0, zL / slo, 0.0)
+                   + jnp.where(has_hi[None, :] > 0, zU / shi, 0.0))
+        sigma_c = (eq_row * (-cfg.delta_c)
+                   + in_row * (-(s / y) - cfg.delta_c)
+                   + (1.0 - active) * (-1.0))
+        gl = grad_lag(W, nu)
+        rhs_w = (-gl
+                 + jnp.where(has_lo[None, :] > 0, mu / slo, 0.0)
+                 - jnp.where(has_hi[None, :] > 0, mu / shi, 0.0))
+        c = nlp.all_constraints(L, W, spec)
+        # Inactive rows solve -d_nu = nu, i.e. d_nu = -nu, keeping their
+        # (already zero-initialized) multipliers at zero.
+        rhs_c = (eq_row * (-c)
+                 + in_row * (-(c - mu / y))
+                 + (1.0 - active) * nu)
+
+        K, E, rhs = nlp.assemble_kkt(
+            L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c, spec, active,
+            state.delta_w,
+        )
+        # Factor a +-delta_factor-regularized copy (stable in fixed pivot
+        # order without Bunch-Kaufman), then refine against the true K.
+        df = jnp.maximum(cfg.delta_factor.astype(dt), state.delta_w)
+        reg = jnp.concatenate(
+            [jnp.full((L.nw,), df, dt), jnp.full((L.nc,), -df, dt)]
+        )
+        K_f = K + jnp.diag(reg)[None, :, :]
+        fac = blocktri.factor(K_f, E, nw=L.nw)
+        d = blocktri.solve_refined(K, E, fac, rhs,
+                                   iters=cfg.refine_iters)
+        dW = d[:, : L.nw]
+        dnu = d[:, L.nw:]
+
+        # --- recover eliminated directions ---
+        dy = jnp.where(in_row > 0, -dnu, 0.0)
+        ds = jnp.where(in_row > 0, (mu - s * y) / y - (s / y) * dy, 0.0)
+        dzL = jnp.where(
+            has_lo[None, :] > 0,
+            (mu - slo * zL) / slo - (zL / slo) * dW, 0.0,
+        )
+        dzU = jnp.where(
+            has_hi[None, :] > 0,
+            (mu - shi * zU) / shi + (zU / shi) * dW, 0.0,
+        )
+
+        # --- fraction-to-boundary ---
+        tau_f = jnp.maximum(cfg.tau_ftb.astype(dt), 1.0 - mu)
+
+        def ftb(val, dval, maskarr):
+            neg = (dval < 0) & (maskarr > 0)
+            a = jnp.where(neg, -tau_f * val / jnp.where(neg, dval, -1.0),
+                          jnp.inf)
+            return jnp.min(a)
+
+        a_pri = jnp.minimum(
+            1.0,
+            jnp.minimum(
+                jnp.minimum(ftb(s, ds, in_row), ftb(y, dy, in_row)),
+                jnp.minimum(
+                    ftb(slo, dW, jnp.broadcast_to(has_lo[None, :],
+                                                  slo.shape)),
+                    ftb(shi, -dW, jnp.broadcast_to(has_hi[None, :],
+                                                   shi.shape)),
+                ),
+            ),
+        )
+        # Trust-region-flavoured step cap (see SolverConfig.step_max).
+        a_pri = jnp.minimum(
+            a_pri,
+            cfg.step_max.astype(dt) / jnp.maximum(jnp.max(jnp.abs(dW)),
+                                                  1e-12),
+        )
+        a_z = jnp.minimum(
+            1.0,
+            jnp.minimum(
+                ftb(zL, dzL, jnp.broadcast_to(has_lo[None, :], zL.shape)),
+                ftb(zU, dzU, jnp.broadcast_to(has_hi[None, :], zU.shape)),
+            ),
+        )
+
+        # --- merit line search (backtracking) ---
+        rho = jnp.maximum(cfg.merit_rho.astype(dt),
+                          2.0 * jnp.max(jnp.abs(nu)))
+        phi0 = _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
+                      has_lo, has_hi)
+
+        def ls_body(j, carry):
+            alpha_found, found = carry
+            alpha_j = a_pri * (0.5 ** j)
+            phi_j = _merit(
+                L, W + alpha_j * dW, s + alpha_j * ds, spec, cfg, mu, rho,
+                eq_row, in_row, lo, hi, has_lo, has_hi,
+            )
+            ok = (phi_j <= phi0 - 1e-8 * alpha_j * jnp.abs(phi0)) & (
+                ~found
+            )
+            return jnp.where(ok, alpha_j, alpha_found), found | ok
+
+        alpha, found = jax.lax.fori_loop(
+            0, cfg.ls_steps, ls_body,
+            (a_pri * 0.5 ** (cfg.ls_steps - 1), jnp.asarray(False)),
+        )
+
+        # --- second-order correction (Ipopt-style SOC) ---
+        # The merit function rejects large steps whose *second-order*
+        # constraint violation is big (Maratos effect on the quadratic
+        # OBCA rows).  Re-solve with the same factors for a feasibility
+        # correction at the full-step point and accept if the merit
+        # improves there.
+        W_full = W + a_pri * dW
+        s_full = jnp.where(in_row > 0, s + a_pri * ds, 1.0)
+        c_full = nlp.all_constraints(L, W_full, spec)
+        rhs_soc = jnp.concatenate(
+            [
+                jnp.zeros_like(rhs_w),
+                eq_row * (-c_full) + in_row * (-(c_full - s_full)),
+            ],
+            axis=-1,
+        )
+        d_soc = blocktri.solve_refined(K, E, fac, rhs_soc, iters=1)
+        dW_soc = d_soc[:, : L.nw]
+        dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
+        ds_soc = jnp.where(in_row > 0, -(s / y) * dy_soc, 0.0)
+        # Keep the corrected point strictly feasible for bounds/slacks.
+        W_soc = W_full + dW_soc
+        s_soc = jnp.where(in_row > 0, s_full + ds_soc, 1.0)
+        soc_ok = (
+            jnp.all(jnp.where(has_lo[None, :] > 0,
+                              W_soc - lo[None, :], 1.0) > 0)
+            & jnp.all(jnp.where(has_hi[None, :] > 0,
+                                hi[None, :] - W_soc, 1.0) > 0)
+            & jnp.all(jnp.where(in_row > 0, s_soc, 1.0) > 0)
+        )
+        phi_soc = _merit(L, W_soc, s_soc, spec, cfg, mu, rho, eq_row,
+                         in_row, lo, hi, has_lo, has_hi)
+        take_soc = soc_ok & (phi_soc <= phi0 - 1e-8 * jnp.abs(phi0)) & (
+            alpha < a_pri
+        )
+
+        # Watchdog: if the full fraction-to-boundary step strictly
+        # reduces the KKT error, take it regardless of the merit test.
+        err_full = kkt_error(
+            W_full, nu + a_pri * dnu, s_full,
+            jnp.clip(zL + a_z * dzL, 0.0, None),
+            jnp.clip(zU + a_z * dzU, 0.0, None), mu,
+        )
+        take_full = err_full <= 0.99 * err_mu
+
+        use_soc = take_soc & ~take_full
+        alpha = jnp.where(take_full, a_pri, alpha)
+        alpha = jnp.where(use_soc, a_pri, alpha)
+
+        W_n = jnp.where(use_soc, W_soc, W + alpha * dW)
+        s_n = jnp.where(use_soc, s_soc,
+                        jnp.where(in_row > 0, s + alpha * ds, 1.0))
+        nu_n = nu + alpha * dnu
+        zL_n = zL + a_z * dzL
+        zU_n = zU + a_z * dzU
+
+        # z-safeguard (Ipopt's kappa_Sigma reset) — keeps Sigma bounded.
+        slo_n = jnp.where(has_lo[None, :] > 0, W_n - lo[None, :], 1.0)
+        shi_n = jnp.where(has_hi[None, :] > 0, hi[None, :] - W_n, 1.0)
+        kS = 1e10
+        zL_n = jnp.clip(zL_n, mu / (kS * slo_n), kS * mu / slo_n)
+        zU_n = jnp.clip(zU_n, mu / (kS * shi_n), kS * mu / shi_n)
+        zL_n = jnp.where(has_lo[None, :] > 0, zL_n, 0.0)
+        zU_n = jnp.where(has_hi[None, :] > 0, zU_n, 0.0)
+
+        # --- NaN guard: reject the step, bump regularization ---
+        finite = (
+            jnp.all(jnp.isfinite(W_n)) & jnp.all(jnp.isfinite(nu_n))
+            & jnp.all(jnp.isfinite(s_n)) & jnp.all(jnp.isfinite(zL_n))
+            & jnp.all(jnp.isfinite(zU_n))
+        )
+        take = finite
+
+        def sel(a, b):
+            return jnp.where(take, a, b)
+
+        # Inertia-correction-by-observation (Levenberg-style): decay the
+        # primal regularization on healthy steps; bump it when the step
+        # was NaN, the line search failed, or the accepted step crawled
+        # (merit rejecting the Newton direction = curvature is wrong
+        # along weakly-determined directions).
+        ratio = alpha / jnp.maximum(a_pri, 1e-12)
+        healthy = take & (take_full | use_soc | (ratio >= 0.24))
+        crawl = take & ~take_full & ~use_soc & (
+            (~found) | (ratio < 0.05)
+        )
+        delta_w_n = jnp.where(
+            healthy,
+            jnp.maximum(cfg.delta_w.astype(dt), state.delta_w * 0.5),
+            jnp.where(
+                crawl | ~take,
+                jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e4),
+                state.delta_w,
+            ),
+        )
+
+        err0 = kkt_error(
+            sel(W_n, W), sel(nu_n, nu), sel(s_n, s),
+            sel(zL_n, zL), sel(zU_n, zU), jnp.zeros((), dt),
+        )
+        conv = (err0 <= cfg.tol) & (mu <= 10.0 * cfg.mu_min)
+
+        new_state = IpmState(
+            W=sel(W_n, W), nu=sel(nu_n, nu), s=sel(s_n, s),
+            zL=sel(zL_n, zL), zU=sel(zU_n, zU),
+            mu=mu, delta_w=delta_w_n,
+            converged=conv, nan_fail=~finite,
+            iters=state.iters + 1, err=err0,
+        )
+        if debug:
+            groups = dict(
+                bc=L.r_bc, dyn=L.r_dyn, tau=slice(L.i_taulink,
+                                                  L.i_taulink + 1),
+                oeq=L.r_obca_eq, nrm=L.r_norm, dst=L.r_dist,
+                rate=L.r_rate,
+            )
+            linres = jnp.max(jnp.abs(blocktri.matvec(K, E, d) - rhs))
+            diag = dict(
+                linres=linres, take_full=take_full, take_soc=use_soc,
+                err_mu=err_mu, err0=err0, mu=mu, a_pri=a_pri, a_z=a_z,
+                alpha=alpha, found=found, finite=finite,
+                delta_w=state.delta_w,
+                r_w=jnp.max(jnp.abs(gl - zL + zU)),
+                r_pri=jnp.max(jnp.abs(c) * eq_row
+                              + jnp.abs(c - s) * in_row),
+                max_nu=jnp.max(jnp.abs(nu)),
+                dW=jnp.max(jnp.abs(dW)), dnu=jnp.max(jnp.abs(dnu)),
+                phi0=phi0,
+                dnu_g={g: jnp.max(jnp.abs(dnu[:, sl]))
+                       for g, sl in groups.items()},
+                nu_g={g: jnp.max(jnp.abs(nu[:, sl]))
+                      for g, sl in groups.items()},
+                rp_g={g: jnp.max((jnp.abs(c) * eq_row
+                                  + jnp.abs(c - s) * in_row)[:, sl])
+                      for g, sl in groups.items()},
+            )
+            return new_state, diag
+        return new_state
+
+    return state0, step, L
+
+
+def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None):
+    """Solve one OBCA instance.  All shapes static; call under jit/vmap."""
+    state0, step, L = _make_step(spec, cfg, W0)
+
+    def loop_body(_, state):
+        new = step(state)
+        # freeze converged scenarios
+        return jax.tree.map(
+            lambda a, b: jnp.where(state.converged, a, b), state, new
+        )
+
+    final = jax.lax.fori_loop(0, cfg.max_iter, loop_body, state0)
+
+    W = final.W
+    status = jnp.where(
+        final.converged, STATUS_CONVERGED,
+        jnp.where(final.nan_fail, STATUS_NAN, STATUS_RUNNING),
+    )
+    return SolveResult(
+        W=W, nu=final.nu,
+        X=W[:, L.sl_x], U=W[: L.N, L.sl_u], tau=W[0, L.i_tau],
+        obj=nlp.objective(L, W, spec),
+        err=final.err, iters=final.iters, status=status, mu=final.mu,
+    )
+
+
+def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,
+                  n_iter: int = 30, printer=print):
+    """Host-side iteration loop with per-iteration diagnostics."""
+    state0, step, L = _make_step(spec, cfg, W0, debug=True)
+    jstep = jax.jit(step)
+    state = state0
+    for i in range(n_iter):
+        state, diag = jax.block_until_ready(jstep(state))
+        printer(
+            f"it {i:3d} mu={float(diag['mu']):.2e} "
+            f"err_mu={float(diag['err_mu']):.2e} "
+            f"err0={float(diag['err0']):.2e} "
+            f"rw={float(diag['r_w']):.2e} rp={float(diag['r_pri']):.2e} "
+            f"a={float(diag['alpha']):.2e}/{float(diag['a_pri']):.2e} "
+            f"found={bool(diag['found'])} fin={bool(diag['finite'])} "
+            f"dw={float(diag['delta_w']):.1e} "
+            f"|dW|={float(diag['dW']):.1e} |nu|={float(diag['max_nu']):.1e}"
+            + (f" lin={float(diag['linres']):.1e}"
+               f" full={int(diag['take_full'])} soc={int(diag['take_soc'])}"
+               if "linres" in diag else "")
+        )
+        if "dnu_g" in diag:
+            printer(
+                "      dnu: " + " ".join(
+                    f"{g}={float(v):.1e}"
+                    for g, v in diag["dnu_g"].items()
+                )
+                + " | rp: " + " ".join(
+                    f"{g}={float(v):.1e}"
+                    for g, v in diag["rp_g"].items()
+                )
+            )
+        if bool(state.converged):
+            printer("converged")
+            break
+    return state
+
+
+def solve_batch(specs: ProblemSpec, cfg: SolverConfig, W0=None):
+    """vmap over a stacked-spec batch (leading axis on every leaf)."""
+    if W0 is None:
+        return jax.vmap(lambda sp: solve_single(sp, cfg))(specs)
+    return jax.vmap(lambda sp, w: solve_single(sp, cfg, w))(specs, W0)

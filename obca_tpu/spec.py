@@ -1,0 +1,325 @@
+"""Problem and solver specifications as JAX pytrees.
+
+Capability parity with the reference driver layer (`main.jl` scenario
+constants + the positional argument lists of `ParkingSignedDist.jl` /
+`ParkingDist.jl` — see SURVEY.md §2.2 C1/C3/C4): everything the reference
+passes positionally (x0, xF, N, Ts, ego dims, XY bounds, obstacle
+H-representations, fixTime, d_min) lives in a single frozen
+:class:`ProblemSpec` pytree, so whole *batches* of problems are just
+stacked pytrees that `vmap`/`shard_map` over the leading axis.
+
+Shapes are static (padded) by design: obstacle counts and face counts are
+padded to (M, V) with explicit masks so that a single compiled XLA program
+serves every scenario in a sweep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, meta_fields):
+    data_fields = [
+        f.name for f in dataclasses.fields(cls) if f.name not in meta_fields
+    ]
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@partial(_register, meta_fields=("num_obs", "num_faces"))
+@dataclasses.dataclass(frozen=True)
+class Obstacles:
+    """Padded batch of convex polytope obstacles O_m = {y : A_m y <= b_m}.
+
+    Mirrors the output of the reference's `obstHrep.jl` (vertex lists ->
+    halfspaces), but with static padding: ``A`` is [M, V, 2], ``b`` [M, V];
+    ``face_mask`` [M, V] marks real faces, ``obs_mask`` [M] real obstacles.
+    Padded faces are (A=0, b=1): the constraint 0'y <= 1 is inactive and its
+    dual component is pinned to zero by the solver.
+    """
+
+    A: jax.Array          # [M, V, 2]
+    b: jax.Array          # [M, V]
+    face_mask: jax.Array  # [M, V] float (1.0 real / 0.0 padded)
+    obs_mask: jax.Array   # [M]    float
+    center: jax.Array     # [M, 2] vertex centroid (dual warm start aid)
+    num_obs: int = 0      # static: padded obstacle count M
+    num_faces: int = 0    # static: padded face count V
+
+
+_META = (
+    "N",
+    "fix_time",
+    "signed",
+    "max_obs",
+    "max_faces",
+)
+
+
+@partial(_register, meta_fields=_META)
+@dataclasses.dataclass(frozen=True)
+class ProblemSpec:
+    """One OBCA parking problem instance (or a batch, when leaves carry a
+    leading batch axis).
+
+    Field provenance: reconstructed from the reference's
+    `ParkingSignedDist(x0, xF, N, Ts, L, ego, XYbounds, nOb, vOb, A, b,
+    fixTime, xWS, uWS, timeWS)` signature and `main.jl` constants
+    (SURVEY.md §2.1-2.2; reference mount empty, values re-derived from the
+    OBCA papers).
+    """
+
+    # Boundary conditions: state = (X, Y, psi, v).
+    x0: jax.Array                 # [4]
+    xF: jax.Array                 # [4]
+    # Discretization.
+    Ts: jax.Array                 # [] sampling time
+    wheelbase: jax.Array          # [] bicycle wheelbase L
+    # Ego polytope B = {y : G y <= g}, G fixed axis-aligned box in body
+    # frame anchored at the rear axle: g = (front, rear, half_w, half_w).
+    ego_g: jax.Array              # [4]
+    # Obstacles.
+    obstacles: Obstacles
+    # Bounds.
+    u_lo: jax.Array               # [2] (delta, a) lower
+    u_hi: jax.Array               # [2]
+    v_lo: jax.Array               # []
+    v_hi: jax.Array               # []
+    xy_lo: jax.Array              # [2]
+    xy_hi: jax.Array              # [2]
+    # Steering-rate bound |delta_k - delta_{k-1}| <= du_max * Ts (and accel
+    # rate analogously); du_max[i] < 0 disables the bound.
+    du_max: jax.Array             # [2]
+    u_prev: jax.Array             # [2] input at k = -1 (for rate terms)
+    # Minimum separation for the collision constraints.
+    d_min: jax.Array              # []
+    # Objective weights.
+    r_u: jax.Array                # [2]   input quadratics (delta, a)
+    r_du: jax.Array               # [2]   input-rate quadratics
+    q_time: jax.Array             # [2]   (linear, quadratic) time penalty
+    # Tiny Tikhonov weight on the OBCA duals: selects the minimum-norm
+    # (lam, mu) certificate when obstacle constraints are slack (far
+    # obstacles leave the duals non-unique, which stalls Newton).  Part
+    # of the canonical problem definition — oracle and TPU solves share
+    # it, so control parity is unaffected.
+    w_reg: jax.Array              # []
+    # Free-time scaling bounds (only used when fix_time=False).
+    tau_lo: jax.Array             # []
+    tau_hi: jax.Array             # []
+    # --- static structure ---
+    N: int = 80                   # horizon (N steps, N+1 knots)
+    fix_time: bool = True         # True: tau == 1 fixed
+    signed: bool = True           # True: ||A'lam|| = 1 (signed distance)
+    max_obs: int = 4              # padded obstacle count M
+    max_faces: int = 4            # padded face count V
+
+
+@partial(_register,
+         meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype"))
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Interior-point solver configuration (Ipopt-shaped defaults --
+    SURVEY.md §2.1 'Solver').
+
+    All tolerances are pytree leaves so a batch can in principle carry
+    per-scenario settings; iteration caps and dtype are static.
+    """
+
+    tol: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1e-6)
+    )
+    mu_init: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.1)
+    )
+    mu_min: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1e-7)
+    )
+    # Fiacco-McCormick monotone decrease: mu <- max(mu_min, min(kappa*mu,
+    # mu^theta)) when the inner problem is solved to kappa_eps * mu.
+    mu_kappa: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.2)
+    )
+    mu_theta: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1.5)
+    )
+    kappa_eps: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(10.0)
+    )
+    # Fraction-to-boundary.
+    tau_ftb: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.995)
+    )
+    # Regularization (quasidefinite KKT): primal delta_w, dual delta_c.
+    delta_w: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1e-8)
+    )
+    delta_c: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1e-8)
+    )
+    # Merit-function penalty parameter.
+    merit_rho: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(100.0)
+    )
+    # The KKT factorization regularizes diagonals to +-delta_factor (a
+    # well-scaled, pivoting-free quasidefinite factor) and recovers the
+    # true-system solution by iterative refinement — the TPU-native
+    # substitute for MUMPS' Bunch-Kaufman pivoting (SURVEY.md §2.2 C10).
+    delta_factor: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1e-4)
+    )
+    # Primal step cap (inf-norm): weakly-determined dual directions (far
+    # obstacles' separating-direction ring has curvature ~ w_reg) produce
+    # huge tangential Newton excursions; capping the step keeps the merit
+    # line search effective without affecting local convergence.
+    step_max: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(5.0)
+    )
+    max_iter: int = 100
+    ls_steps: int = 12
+    refine_iters: int = 3
+    dtype: Any = jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# Canonical scenarios.
+#
+# Reconstructions of the reference's `main.jl` scenarios (reverse / "back-
+# wards" parking and parallel parking).  The reference mount was empty at
+# survey time (SURVEY.md §0) so the exact constants are re-derived from the
+# OBCA / H-OBCA papers: ego ~ (front 3.7, rear 1, half-width 1), wheelbase
+# 2.7, |delta| <= 0.6, |a| <= 0.4 (paper-era values); slot geometry chosen
+# so the canonical maneuvers are feasible with sensible margins.
+# ---------------------------------------------------------------------------
+
+
+def obstacles_from_vertices(vertex_lists, max_obs=None, max_faces=None,
+                            dtype=jnp.float64) -> Obstacles:
+    """CCW vertex lists -> padded halfspace representation.
+
+    TPU-native equivalent of the reference's `obstHrep.jl` (SURVEY.md §2.2
+    C2).  Pure numpy here (host-side scenario construction); the batched
+    in-graph variant lives in :mod:`obca_tpu.geometry`.
+    """
+    from obca_tpu import geometry
+
+    M = max_obs if max_obs is not None else len(vertex_lists)
+    V = max_faces if max_faces is not None else max(
+        (len(v) for v in vertex_lists), default=1
+    )
+    A = np.zeros((M, V, 2))
+    b = np.ones((M, V))
+    fmask = np.zeros((M, V))
+    omask = np.zeros((M,))
+    center = np.zeros((M, 2))
+    for m, verts in enumerate(vertex_lists):
+        Am, bm = geometry.hrep_from_ccw_vertices(np.asarray(verts, float))
+        k = Am.shape[0]
+        A[m, :k] = Am
+        b[m, :k] = bm
+        fmask[m, :k] = 1.0
+        omask[m] = 1.0
+        center[m] = np.asarray(verts, float).mean(axis=0)
+    return Obstacles(
+        A=jnp.asarray(A, dtype),
+        b=jnp.asarray(b, dtype),
+        face_mask=jnp.asarray(fmask, dtype),
+        obs_mask=jnp.asarray(omask, dtype),
+        center=jnp.asarray(center, dtype),
+        num_obs=M,
+        num_faces=V,
+    )
+
+
+def _base_spec(x0, xF, obstacles, *, N, Ts, xy_lo, xy_hi, d_min, fix_time,
+               signed, dtype) -> ProblemSpec:
+    f = lambda v: jnp.asarray(v, dtype)
+    return ProblemSpec(
+        x0=f(x0),
+        xF=f(xF),
+        Ts=f(Ts),
+        wheelbase=f(2.7),
+        ego_g=f([3.7, 1.0, 1.0, 1.0]),
+        obstacles=obstacles,
+        u_lo=f([-0.6, -0.4]),
+        u_hi=f([0.6, 0.4]),
+        v_lo=f(-1.0),
+        v_hi=f(2.0),
+        xy_lo=f(xy_lo),
+        xy_hi=f(xy_hi),
+        du_max=f([0.6, -1.0]),   # steering-rate bound on; accel rate off
+        u_prev=f([0.0, 0.0]),
+        d_min=f(d_min),
+        r_u=f([0.5, 0.5]),
+        r_du=f([0.1, 0.1]),
+        q_time=f([0.5, 1.0]),
+        w_reg=f(1e-2),
+        tau_lo=f(0.3),
+        tau_hi=f(2.5),
+        N=N,
+        fix_time=fix_time,
+        signed=signed,
+        max_obs=obstacles.num_obs,
+        max_faces=obstacles.num_faces,
+    )
+
+
+def reverse_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
+                         d_min=0.05, max_obs=None, max_faces=None,
+                         dtype=jnp.float64) -> ProblemSpec:
+    """Reverse (back-in) parking between two blocks plus an upper wall.
+
+    Reconstruction of the reference "backwards" scenario (SURVEY.md
+    §2.1 Scenarios item 1): slot of width 2.6 m between two large blocks,
+    car starts on the road facing +x and backs into the slot heading -y.
+    """
+    slot_half = 1.3
+    obs = obstacles_from_vertices(
+        [
+            [(-20.0, 5.0), (-slot_half, 5.0), (-slot_half, -5.0),
+             (-20.0, -5.0)],
+            [(slot_half, 5.0), (20.0, 5.0), (20.0, -5.0), (slot_half, -5.0)],
+            [(-20.0, 15.0), (20.0, 15.0), (20.0, 11.0), (-20.0, 11.0)],
+        ],
+        max_obs=max_obs, max_faces=max_faces, dtype=dtype,
+    )
+    x0 = [-6.0, 9.0, 0.0, 0.0]
+    xF = [0.0, 1.3, np.pi / 2.0, 0.0]
+    return _base_spec(
+        x0, xF, obs, N=N, Ts=Ts, xy_lo=[-15.0, 1.0], xy_hi=[15.0, 10.0],
+        d_min=d_min, fix_time=fix_time, signed=signed, dtype=dtype,
+    )
+
+
+def parallel_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
+                          d_min=0.05, max_obs=None, max_faces=None,
+                          dtype=jnp.float64) -> ProblemSpec:
+    """Parallel parking into a curbside slot (3 obstacles).
+
+    Reconstruction of the reference "parallel" scenario (SURVEY.md §2.1
+    Scenarios item 2).
+    """
+    obs = obstacles_from_vertices(
+        [
+            [(-15.0, 5.0), (-3.0, 5.0), (-3.0, 0.0), (-15.0, 0.0)],
+            [(3.0, 5.0), (15.0, 5.0), (15.0, 0.0), (3.0, 0.0)],
+            [(-15.0, 2.5), (15.0, 2.5), (15.0, 0.0), (-15.0, 0.0)],
+        ],
+        max_obs=max_obs, max_faces=max_faces, dtype=dtype,
+    )
+    # Slot between the two blocks (x in [-3, 3]); the third obstacle is the
+    # curb spanning the full street at y <= 2.5, so the parked car sits just
+    # above it (ego spans y in [2.6, 4.6] at xF).
+    x0 = [-7.0, 7.0, 0.0, 0.0]
+    xF = [-1.2, 3.6, 0.0, 0.0]
+    return _base_spec(
+        x0, xF, obs, N=N, Ts=Ts, xy_lo=[-12.0, 2.6], xy_hi=[12.0, 10.0],
+        d_min=d_min, fix_time=fix_time, signed=signed, dtype=dtype,
+    )

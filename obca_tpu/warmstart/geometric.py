@@ -1,0 +1,45 @@
+"""Primal warm start: interpolation / no-obstacle trajectory.
+
+TPU-native counterpart of the reference's `WarmStart.jl` (a no-obstacle
+OCP warm start — SURVEY.md §2.1 step 1 note): provides an initial
+(X, U, tau) guess when no Hybrid-A* path is supplied.  The full
+Hybrid-A* pipeline lives in `hybrid_astar.py`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from obca_tpu import nlp
+from obca_tpu.spec import ProblemSpec
+from obca_tpu.warmstart import dual_ws
+
+
+def interpolated_states(spec: ProblemSpec, dtype=None):
+    """Linear state interpolation x0 -> xF over the horizon [N+1, 4]."""
+    dt = dtype or spec.x0.dtype
+    N = spec.N
+    alpha = jnp.linspace(0.0, 1.0, N + 1, dtype=dt)[:, None]
+    return ((1.0 - alpha) * spec.x0[None, :].astype(dt)
+            + alpha * spec.xF[None, :].astype(dt))
+
+
+def warm_start(spec: ProblemSpec, X=None, U=None, tau=None, dtype=None,
+               dual_eps: float = 1e-2):
+    """Packed warm-start trajectory W [N+1, nw].
+
+    Any of X [N+1,4] / U [N,2] / tau [] may be supplied (e.g. from
+    Hybrid A* + velocity smoothing); missing pieces fall back to
+    interpolation / zeros / 1, and duals always come from the geometric
+    dual warm start (`dual_ws`).
+    """
+    L = nlp.layout_of(spec)
+    dt = dtype or spec.x0.dtype
+    if X is None:
+        X = interpolated_states(spec, dt)
+    W = jnp.zeros((L.N + 1, L.nw), dt)
+    W = W.at[:, L.sl_x].set(X.astype(dt))
+    if U is not None:
+        W = W.at[: L.N, L.sl_u].set(U.astype(dt))
+    W = W.at[:, L.i_tau].set(1.0 if tau is None else tau)
+    return dual_ws.apply_dual_ws(spec, W, eps=dual_eps)
