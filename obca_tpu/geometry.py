@@ -18,19 +18,27 @@ import numpy as np
 
 
 def hrep_from_ccw_vertices(verts):
-    """Convert a CCW-ordered convex polygon vertex array [V, 2] to
+    """Convert a convex polygon vertex array [V, 2] (either winding) to
     halfspaces (A, b) with A y <= b for interior points.
 
-    For a CCW edge p -> q the outward normal is (q - p) rotated -90deg:
-    n = (qy - py, px - qx)... rotated clockwise: (dy, -dx) points outward
-    for CCW ordering.
+    For a CCW edge p -> q the outward normal is (dy, -dx); the winding
+    is detected from the signed area and normals are flipped for CW
+    input (the reference's scenario tables are CW — orientation slips
+    here silently produce *empty* obstacle sets that the dual
+    reformulation then certifies as infinitely far, so robustness
+    matters).
     """
     verts = jnp.asarray(verts) if isinstance(verts, jax.Array) else np.asarray(verts)
     lib = jnp if isinstance(verts, jax.Array) else np
     q = lib.roll(verts, -1, axis=0)
     d = q - verts
+    # Signed area (shoelace): positive for CCW.
+    area2 = (verts[:, 0] * q[:, 1] - q[:, 0] * verts[:, 1]).sum()
+    sgn = lib.where(area2 >= 0, 1.0, -1.0) if lib is jnp else (
+        1.0 if area2 >= 0 else -1.0
+    )
     # CCW polygon: outward normal of edge (p->q) is (dy, -dx).
-    n = lib.stack([d[:, 1], -d[:, 0]], axis=-1)
+    n = lib.stack([d[:, 1], -d[:, 0]], axis=-1) * sgn
     norm = lib.sqrt((n ** 2).sum(axis=-1, keepdims=True))
     n = n / norm
     b = (n * verts).sum(axis=-1)

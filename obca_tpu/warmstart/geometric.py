@@ -43,3 +43,15 @@ def warm_start(spec: ProblemSpec, X=None, U=None, tau=None, dtype=None,
         W = W.at[: L.N, L.sl_u].set(U.astype(dt))
     W = W.at[:, L.i_tau].set(1.0 if tau is None else tau)
     return dual_ws.apply_dual_ws(spec, W, eps=dual_eps)
+
+
+def rs_warm_start(spec, dtype=None, delta_frac=0.8, dual_eps=1e-2):
+    """Full warm-start pipeline for parking problems: Reeds-Shepp path
+    (C6b) + smooth velocity profile (C7) + geometric duals (C8) —
+    the reference's Hybrid-A*-free `WarmStart.jl`-style path for
+    obstacle-light instances; `hybrid_astar` supersedes the path stage
+    when obstacles block the RS shot."""
+    from obca_tpu.warmstart import velosmooth
+
+    X, U = velosmooth.rs_time_sampled(spec, delta_frac=delta_frac)
+    return warm_start(spec, X=X, U=U, dtype=dtype, dual_eps=dual_eps)

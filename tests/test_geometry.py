@@ -16,6 +16,23 @@ def test_hrep_square():
         assert on.sum() == 2
 
 
+def test_hrep_clockwise_input():
+    """CW vertex lists (the scenario tables' winding) must produce the
+    same interior halfspaces as CCW — a silent flip yields an *empty*
+    obstacle that the dual constraints certify as infinitely far."""
+    ccw = np.array([(1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0), (1.0, -1.0)])
+    cw = ccw[::-1]
+    A1, b1 = geometry.hrep_from_ccw_vertices(ccw)
+    A2, b2 = geometry.hrep_from_ccw_vertices(cw)
+    # Same set: interior point inside, outside point outside, for both.
+    assert np.all(A1 @ np.zeros(2) < b1)
+    assert np.all(A2 @ np.zeros(2) < b2)
+    assert np.any(A2 @ np.array([2.0, 0.0]) > b2)
+    # b must be consistent with a nonempty box: sum of opposite-face
+    # offsets = box width (2), never negative.
+    assert b2.sum() == 4.0
+
+
 def test_hrep_normals_unit():
     verts = np.array([(2.0, 0.0), (0.0, 3.0), (-2.0, 0.0), (0.0, -3.0)])
     A, _ = geometry.hrep_from_ccw_vertices(verts)
