@@ -166,6 +166,53 @@ def polytope_polytope_distance(P_A, P_b, Q_A, Q_b, mask_P, mask_Q):
     return convex_polygon_distance(Pv, Qv)
 
 
+def sat_gap(P_pts, P_axes, Q_pts, Q_axes):
+    """Separating-axis gap between convex polygons (in-graph, exact up
+    to the face-normal axis set): max over candidate axes of the
+    projection gap.  Positive = separated by at least that much;
+    negative = overlapping on every axis (lower bound of -penetration).
+    For convex polygons the separating axis theorem guarantees a
+    positive gap on some face normal whenever disjoint; the returned
+    value lower-bounds the true clearance (vertex-vertex nearest
+    features are under-reported), which is the conservative direction
+    for collision checks.
+
+    P_pts [p, 2], Q_pts [q, 2]; axes [a, 2] unit normals of both.
+    """
+    axes = jnp.concatenate([P_axes, Q_axes], axis=0)   # [a, 2]
+    projP = P_pts @ axes.T                             # [p, a]
+    projQ = Q_pts @ axes.T
+    gap1 = projQ.min(0) - projP.max(0)                 # Q above P
+    gap2 = projP.min(0) - projQ.max(0)                 # P above Q
+    return jnp.maximum(gap1, gap2).max()
+
+
+def ego_clearance_exact(state, ego_g, obstacles):
+    """In-graph conservative clearance of the ego rectangle at ``state``
+    vs every obstacle: [M] array of SAT gaps (negative = collision).
+
+    Used by the warm-start planners for corridor validation — the
+    disc-cover occupancy is too conservative for tight slots
+    (SURVEY.md §2.2 C6c collision check, exact variant)."""
+    ego_pts = ego_vertices(state, ego_g)               # [4, 2]
+    R = rotation(state[2])
+    G = jnp.asarray(EGO_G, state.dtype)
+    ego_axes = G @ R.T                                 # [4, 2]
+    A = obstacles.A                                    # [M, V, 2]
+    verts = obstacles.vertices                         # [M, V, 2]
+
+    def per_obs(Averts, Vpts, fmask):
+        # Replace padded faces' axes with a duplicate of face 0 — a zero
+        # axis would report gap 0 and wrongly win the max for
+        # overlapping polygons.
+        axes = jnp.where(fmask[:, None] > 0, Averts, Averts[0])
+        return sat_gap(ego_pts, ego_axes, Vpts, axes)
+
+    gaps = jax.vmap(per_obs)(A, verts, obstacles.face_mask)
+    # padded obstacles: report +inf clearance
+    return jnp.where(obstacles.obs_mask > 0, gaps, jnp.inf)
+
+
 def ego_hrep_world(state, ego_g):
     """Ego polytope in world frame at ``state``: (Aw, bw) with
     E(x) = {y : Aw y <= bw}.  From G R'(y - t) <= g."""

@@ -312,10 +312,13 @@ def objective(L: Layout, W, spec: ProblemSpec):
         + jnp.sum((mu ** 2) * (1.0 - omask)[None, :])
         + jnp.sum(u[N] ** 2)
     )
-    # Minimum-norm dual selection (see ProblemSpec.w_reg).
+    # Proximal dual selection (see ProblemSpec.w_reg / dual_ref).
+    nlam = L.M * L.V
+    ref_lam = spec.dual_ref[:, :nlam]
+    ref_mu = spec.dual_ref[:, nlam:]
     reg = (
-        jnp.sum((lam ** 2) * fmask[None, :])
-        + jnp.sum((mu ** 2) * omask[None, :])
+        jnp.sum(((lam - ref_lam) ** 2) * fmask[None, :])
+        + jnp.sum(((mu - ref_mu) ** 2) * omask[None, :])
     )
     return c_u + c_du + c_t + 0.5 * PIN_KAPPA * pin + 0.5 * spec.w_reg * reg
 

@@ -128,6 +128,14 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     if W0 is None:
         W0 = default_init(spec, dt)
     W0 = W0.astype(dt)
+    # Anchor the proximal dual regularization at the warm-start duals
+    # (see ProblemSpec.dual_ref).
+    spec = dataclasses.replace(
+        spec,
+        dual_ref=jnp.concatenate(
+            [W0[:, L.sl_lam], W0[:, L.sl_mu]], axis=-1
+        ),
+    )
 
     mu0 = cfg.mu_init.astype(dt)
     c0 = nlp.all_constraints(L, W0, spec)

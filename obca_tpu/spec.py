@@ -51,6 +51,8 @@ class Obstacles:
     face_mask: jax.Array  # [M, V] float (1.0 real / 0.0 padded)
     obs_mask: jax.Array   # [M]    float
     center: jax.Array     # [M, 2] vertex centroid (dual warm start aid)
+    vertices: jax.Array   # [M, V, 2] CCW vertices (padded: repeat last;
+    #                       used by exact in-graph separation tests)
     num_obs: int = 0      # static: padded obstacle count M
     num_faces: int = 0    # static: padded face count V
 
@@ -105,12 +107,17 @@ class ProblemSpec:
     r_u: jax.Array                # [2]   input quadratics (delta, a)
     r_du: jax.Array               # [2]   input-rate quadratics
     q_time: jax.Array             # [2]   (linear, quadratic) time penalty
-    # Tiny Tikhonov weight on the OBCA duals: selects the minimum-norm
+    # Tiny Tikhonov weight on the OBCA duals: selects a unique
     # (lam, mu) certificate when obstacle constraints are slack (far
-    # obstacles leave the duals non-unique, which stalls Newton).  Part
-    # of the canonical problem definition — oracle and TPU solves share
-    # it, so control parity is unaffected.
+    # obstacles leave the duals non-unique — the separating-direction
+    # "ring" — which stalls Newton).  The regularization is *proximal*:
+    # 0.5 * w_reg * ||dual - dual_ref||^2 anchored at the warm-start
+    # duals (`dual_ref`, set by the solver from W0), mirroring how the
+    # reference relies on Ipopt staying near DualMultWS's init.  Part of
+    # the canonical problem definition — oracle and TPU solves share it,
+    # so control parity is unaffected.
     w_reg: jax.Array              # []
+    dual_ref: jax.Array           # [N+1, M*V + 4M] proximal centers
     # Free-time scaling bounds (only used when fix_time=False).
     tau_lo: jax.Array             # []
     tau_hi: jax.Array             # []
@@ -219,20 +226,25 @@ def obstacles_from_vertices(vertex_lists, max_obs=None, max_faces=None,
     fmask = np.zeros((M, V))
     omask = np.zeros((M,))
     center = np.zeros((M, 2))
+    vertices = np.zeros((M, V, 2))
     for m, verts in enumerate(vertex_lists):
-        Am, bm = geometry.hrep_from_ccw_vertices(np.asarray(verts, float))
+        va = np.asarray(verts, float)
+        Am, bm = geometry.hrep_from_ccw_vertices(va)
         k = Am.shape[0]
         A[m, :k] = Am
         b[m, :k] = bm
         fmask[m, :k] = 1.0
         omask[m] = 1.0
-        center[m] = np.asarray(verts, float).mean(axis=0)
+        center[m] = va.mean(axis=0)
+        vertices[m, :k] = va
+        vertices[m, k:] = va[-1]
     return Obstacles(
         A=jnp.asarray(A, dtype),
         b=jnp.asarray(b, dtype),
         face_mask=jnp.asarray(fmask, dtype),
         obs_mask=jnp.asarray(omask, dtype),
         center=jnp.asarray(center, dtype),
+        vertices=jnp.asarray(vertices, dtype),
         num_obs=M,
         num_faces=V,
     )
@@ -241,7 +253,9 @@ def obstacles_from_vertices(vertex_lists, max_obs=None, max_faces=None,
 def _base_spec(x0, xF, obstacles, *, N, Ts, xy_lo, xy_hi, d_min, fix_time,
                signed, dtype) -> ProblemSpec:
     f = lambda v: jnp.asarray(v, dtype)
+    n_dual = obstacles.num_obs * obstacles.num_faces + 4 * obstacles.num_obs
     return ProblemSpec(
+        dual_ref=jnp.zeros((N + 1, n_dual), dtype),
         x0=f(x0),
         xF=f(xF),
         Ts=f(Ts),
@@ -308,17 +322,18 @@ def parallel_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
     """
     obs = obstacles_from_vertices(
         [
-            [(-15.0, 5.0), (-3.0, 5.0), (-3.0, 0.0), (-15.0, 0.0)],
-            [(3.0, 5.0), (15.0, 5.0), (15.0, 0.0), (3.0, 0.0)],
+            [(-15.0, 5.0), (-3.5, 5.0), (-3.5, 0.0), (-15.0, 0.0)],
+            [(3.5, 5.0), (15.0, 5.0), (15.0, 0.0), (3.5, 0.0)],
             [(-15.0, 2.5), (15.0, 2.5), (15.0, 0.0), (-15.0, 0.0)],
         ],
         max_obs=max_obs, max_faces=max_faces, dtype=dtype,
     )
-    # Slot between the two blocks (x in [-3, 3]); the third obstacle is the
-    # curb spanning the full street at y <= 2.5, so the parked car sits just
-    # above it (ego spans y in [2.6, 4.6] at xF).
+    # Slot between the two blocks (x in [-3.5, 3.5], the paper-era 7 m
+    # slot); the third obstacle is the curb spanning the full street at
+    # y <= 2.5, so the parked car sits just above it (ego spans
+    # y in [2.6, 4.6] at xF, centred in the slot).
     x0 = [-7.0, 7.0, 0.0, 0.0]
-    xF = [-1.2, 3.6, 0.0, 0.0]
+    xF = [-1.35, 3.6, 0.0, 0.0]
     return _base_spec(
         x0, xF, obs, N=N, Ts=Ts, xy_lo=[-12.0, 2.6], xy_hi=[12.0, 10.0],
         d_min=d_min, fix_time=fix_time, signed=signed, dtype=dtype,

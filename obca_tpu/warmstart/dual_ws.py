@@ -44,20 +44,20 @@ def geometric_duals(spec: ProblemSpec, X, eps: float = 1e-2):
     A = spec.obstacles.A
     fm = spec.obstacles.face_mask
     om = spec.obstacles.obs_mask
-    centers = spec.obstacles.center               # [M, 2]
 
     def per_stage(x):
         t = x[:2]
-        d = t[None, :] - centers                  # [M, 2]
-        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
-                            1e-9)
-        w_raw = jnp.einsum("mvd,md->mv", A, d)    # a_i . d
-        lam = jnp.maximum(w_raw, 0.0) * fm + eps * fm
-        Atlam = jnp.einsum("mvd,mv->md", A, lam)  # [M, 2]
-        nrm = jnp.maximum(jnp.linalg.norm(Atlam, axis=-1, keepdims=True),
-                          1e-9)
-        lam = lam / nrm
-        Atlam = Atlam / nrm
+        # Most-separating face per obstacle: i* = argmax_i (a_i.t - b_i).
+        # lam = onehot(i*) satisfies ||A'lam|| = 1 exactly and the dual
+        # value equals the ego-to-face-halfplane signed distance — the
+        # exact optimum whenever the nearest feature is a face.  (A
+        # centroid-direction heuristic instead mixes in far faces of
+        # elongated obstacles and reports wildly wrong distances.)
+        face_val = jnp.einsum("mvd,d->mv", A, t) - spec.obstacles.b
+        face_val = jnp.where(fm > 0, face_val, -1e9)
+        i_star = jnp.argmax(face_val, axis=-1)            # [M]
+        lam = jax.nn.one_hot(i_star, A.shape[1], dtype=x.dtype) * fm
+        Atlam = jnp.einsum("mvd,mv->md", A, lam)          # [M, 2] (unit)
         # mu from G'mu = -R' A'lam  (exact, componentwise +/- parts).
         R = rotation(x[2])
         w = -(Atlam @ R)                          # [M, 2] = -R' A' lam

@@ -45,6 +45,25 @@ def warm_start(spec: ProblemSpec, X=None, U=None, tau=None, dtype=None,
     return dual_ws.apply_dual_ws(spec, W, eps=dual_eps)
 
 
+def lattice_warm_start(spec, dtype=None, dual_eps=1e-2, cfg=None):
+    """Full collision-aware warm start: SE(2) lattice plan (C6) +
+    staging-goal analytic expansion + velocity profile (C7) + geometric
+    duals (C8).  Falls back to the Reeds-Shepp warm start when the
+    lattice does not reach the goal."""
+    from obca_tpu.warmstart import lattice as lattice_mod
+    from obca_tpu.warmstart import velosmooth
+
+    lcfg = cfg or lattice_mod.LatticeConfig()
+    poses, dirs, seg_len, n_valid, reached = lattice_mod.plan(spec, lcfg)
+    X_lat, U_lat = velosmooth.polyline_time_sampled(
+        spec, poses, dirs, seg_len
+    )
+    X_rs, U_rs = velosmooth.rs_time_sampled(spec)
+    X = jnp.where(reached, X_lat, X_rs)
+    U = jnp.where(reached, U_lat, U_rs)
+    return warm_start(spec, X=X, U=U, dtype=dtype, dual_eps=dual_eps)
+
+
 def rs_warm_start(spec, dtype=None, delta_frac=0.8, dual_eps=1e-2):
     """Full warm-start pipeline for parking problems: Reeds-Shepp path
     (C6b) + smooth velocity profile (C7) + geometric duals (C8) —

@@ -20,6 +20,7 @@ def _tiny_spec(**kw):
     s = reverse_parking_spec(N=3, **kw)
     return dataclasses.replace(
         s, obstacles=obs, max_obs=2, max_faces=4,
+        dual_ref=jnp.zeros((4, 2 * 4 + 4 * 2)),
         x0=jnp.asarray([0.0, 0.0, 0.1, 0.2]),
         xF=jnp.asarray([1.0, 0.5, 0.3, 0.0]),
     )
