@@ -159,10 +159,10 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         lambda W, nu: nlp.total_lagrangian(L, W, nu, spec, active)
     )
 
-    def kkt_error(W, nu, s, zL, zU, mu):
-        c = nlp.all_constraints(L, W, spec)
+    def kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu):
+        """KKT error from precomputed gradient/constraints."""
         y = -nu
-        rw = grad_lag(W, nu) - zL + zU
+        rw = gl - zL + zU
         r_pri = jnp.abs(c) * eq_row + jnp.abs(c - s) * in_row
         comp_s = jnp.abs(s * y - mu) * in_row
         comp_l = jnp.abs((W - lo[None, :]) * zL - mu) * (has_lo[None, :] > 0)
@@ -182,14 +182,27 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             ),
         )
 
+    def kkt_error(W, nu, s, zL, zU, mu):
+        gl = grad_lag(W, nu)
+        c = nlp.all_constraints(L, W, spec)
+        return kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu)
+
     def step(state: IpmState) -> IpmState:
         W, nu, s, zL, zU, mu = (state.W, state.nu, state.s, state.zL,
                                 state.zU, state.mu)
         y = jnp.where(in_row > 0, -nu, 1.0)
 
+        # --- one residual evaluation serves convergence test, barrier
+        # update, and Newton RHS ---
+        gl = grad_lag(W, nu)
+        c = nlp.all_constraints(L, W, spec)
+        err0 = kkt_error_pieces(gl, c, W, nu, s, zL, zU,
+                                jnp.zeros((), dt))
+        err_mu = kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu)
+        conv = (err0 <= cfg.tol) & (mu <= 10.0 * cfg.mu_min)
+
         # --- barrier update (monotone Fiacco-McCormick) ---
-        err_mu = kkt_error(W, nu, s, zL, zU, mu)
-        do_mu = (err_mu <= cfg.kappa_eps * mu) & (mu > cfg.mu_min)
+        do_mu = (err_mu <= cfg.kappa_eps * mu) & (mu > cfg.mu_min) & ~conv
         mu_new = jnp.maximum(
             cfg.mu_min.astype(dt),
             jnp.minimum(cfg.mu_kappa * mu, mu ** cfg.mu_theta),
@@ -204,11 +217,9 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         sigma_c = (eq_row * (-cfg.delta_c)
                    + in_row * (-(s / y) - cfg.delta_c)
                    + (1.0 - active) * (-1.0))
-        gl = grad_lag(W, nu)
         rhs_w = (-gl
                  + jnp.where(has_lo[None, :] > 0, mu / slo, 0.0)
                  - jnp.where(has_hi[None, :] > 0, mu / shi, 0.0))
-        c = nlp.all_constraints(L, W, spec)
         # Inactive rows solve -d_nu = nu, i.e. d_nu = -nu, keeping their
         # (already zero-initialized) multipliers at zero.
         rhs_c = (eq_row * (-c)
@@ -219,16 +230,36 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c, spec, active,
             state.delta_w,
         )
+        # Symmetric Ruiz equilibration: the KKT mixes scales across many
+        # orders of magnitude (barrier Sigma ~ mu/slack^2 vs unit
+        # Jacobians), which breaks low-precision pivoting-free
+        # factorization.  Iteratively scale rows/cols by
+        # 1/sqrt(row_inf_norm), factor the well-scaled system, unscale.
+        K_s, E_s = K, E
+        dsc = jnp.ones_like(rhs)
+        for _ in range(3):
+            rn = jnp.max(jnp.abs(K_s), axis=-1)
+            rn = rn.at[:-1].max(jnp.max(jnp.abs(E_s), axis=-1))
+            rn = rn.at[1:].max(jnp.max(jnp.abs(E_s), axis=-2))
+            f = 1.0 / jnp.sqrt(jnp.clip(rn, 1e-10, None))
+            dsc = dsc * f
+            K_s = K_s * f[:, :, None] * f[:, None, :]
+            E_s = E_s * f[:-1, :, None] * f[1:, None, :]
+        rhs_s = rhs * dsc
+
         # Factor a +-delta_factor-regularized copy (stable in fixed pivot
-        # order without Bunch-Kaufman), then refine against the true K.
+        # order without Bunch-Kaufman), then refine against the true
+        # (scaled) system.
         df = jnp.maximum(cfg.delta_factor.astype(dt), state.delta_w)
         reg = jnp.concatenate(
             [jnp.full((L.nw,), df, dt), jnp.full((L.nc,), -df, dt)]
         )
-        K_f = K + jnp.diag(reg)[None, :, :]
-        fac = blocktri.factor(K_f, E, nw=L.nw)
-        d = blocktri.solve_refined(K, E, fac, rhs,
-                                   iters=cfg.refine_iters)
+        K_f = K_s + jnp.diag(reg)[None, :, :]
+        fac = blocktri.factor(K_f, E_s, nw=L.nw)
+        d = blocktri.solve_refined(K_s, E_s, fac, rhs_s,
+                                   iters=cfg.refine_iters,
+                                   residual_dtype=cfg.residual_dtype)
+        d = d * dsc
         dW = d[:, : L.nw]
         dnu = d[:, L.nw:]
 
@@ -279,28 +310,24 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             ),
         )
 
-        # --- merit line search (backtracking) ---
+        # --- merit line search (all trial points evaluated in one
+        # batched sweep — SPMD-friendly, no sequential backtracking) ---
         rho = jnp.maximum(cfg.merit_rho.astype(dt),
                           2.0 * jnp.max(jnp.abs(nu)))
         phi0 = _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
                       has_lo, has_hi)
 
-        def ls_body(j, carry):
-            alpha_found, found = carry
-            alpha_j = a_pri * (0.5 ** j)
-            phi_j = _merit(
-                L, W + alpha_j * dW, s + alpha_j * ds, spec, cfg, mu, rho,
-                eq_row, in_row, lo, hi, has_lo, has_hi,
-            )
-            ok = (phi_j <= phi0 - 1e-8 * alpha_j * jnp.abs(phi0)) & (
-                ~found
-            )
-            return jnp.where(ok, alpha_j, alpha_found), found | ok
-
-        alpha, found = jax.lax.fori_loop(
-            0, cfg.ls_steps, ls_body,
-            (a_pri * 0.5 ** (cfg.ls_steps - 1), jnp.asarray(False)),
-        )
+        alphas = a_pri * 0.5 ** jnp.arange(cfg.ls_steps, dtype=dt)
+        phis = jax.vmap(
+            lambda a: _merit(L, W + a * dW,
+                             jnp.where(in_row > 0, s + a * ds, 1.0),
+                             spec, cfg, mu, rho, eq_row, in_row, lo, hi,
+                             has_lo, has_hi)
+        )(alphas)
+        ok = phis <= phi0 - 1e-8 * alphas * jnp.abs(phi0)
+        found = jnp.any(ok)
+        first = jnp.argmax(ok)
+        alpha = jnp.where(found, alphas[first], alphas[-1])
 
         # --- second-order correction (Ipopt-style SOC) ---
         # The merit function rejects large steps whose *second-order*
@@ -318,7 +345,8 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             ],
             axis=-1,
         )
-        d_soc = blocktri.solve_refined(K, E, fac, rhs_soc, iters=1)
+        d_soc = blocktri.solve_refined(K, E, fac, rhs_soc, iters=1,
+                                       residual_dtype=cfg.residual_dtype)
         dW_soc = d_soc[:, : L.nw]
         dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
         ds_soc = jnp.where(in_row > 0, -(s / y) * dy_soc, 0.0)
@@ -340,8 +368,10 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
         # Watchdog: if the full fraction-to-boundary step strictly
         # reduces the KKT error, take it regardless of the merit test.
-        err_full = kkt_error(
-            W_full, nu + a_pri * dnu, s_full,
+        nu_full = nu + a_pri * dnu
+        gl_full = grad_lag(W_full, nu_full)
+        err_full = kkt_error_pieces(
+            gl_full, c_full, W_full, nu_full, s_full,
             jnp.clip(zL + a_z * dzL, 0.0, None),
             jnp.clip(zU + a_z * dzU, 0.0, None), mu,
         )
@@ -367,13 +397,14 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         zL_n = jnp.where(has_lo[None, :] > 0, zL_n, 0.0)
         zU_n = jnp.where(has_hi[None, :] > 0, zU_n, 0.0)
 
-        # --- NaN guard: reject the step, bump regularization ---
+        # --- NaN guard: reject the step, bump regularization; frozen
+        # (converged) scenarios keep their state ---
         finite = (
             jnp.all(jnp.isfinite(W_n)) & jnp.all(jnp.isfinite(nu_n))
             & jnp.all(jnp.isfinite(s_n)) & jnp.all(jnp.isfinite(zL_n))
             & jnp.all(jnp.isfinite(zU_n))
         )
-        take = finite
+        take = finite & ~conv
 
         def sel(a, b):
             return jnp.where(take, a, b)
@@ -392,24 +423,20 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             healthy,
             jnp.maximum(cfg.delta_w.astype(dt), state.delta_w * 0.5),
             jnp.where(
-                crawl | ~take,
+                crawl | (~finite & ~conv),
                 jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e4),
                 state.delta_w,
             ),
         )
-
-        err0 = kkt_error(
-            sel(W_n, W), sel(nu_n, nu), sel(s_n, s),
-            sel(zL_n, zL), sel(zU_n, zU), jnp.zeros((), dt),
-        )
-        conv = (err0 <= cfg.tol) & (mu <= 10.0 * cfg.mu_min)
+        delta_w_n = jnp.where(conv, state.delta_w, delta_w_n)
 
         new_state = IpmState(
             W=sel(W_n, W), nu=sel(nu_n, nu), s=sel(s_n, s),
             zL=sel(zL_n, zL), zU=sel(zU_n, zU),
-            mu=mu, delta_w=delta_w_n,
-            converged=conv, nan_fail=~finite,
-            iters=state.iters + 1, err=err0,
+            mu=jnp.where(conv, state.mu, mu), delta_w=delta_w_n,
+            converged=conv, nan_fail=~finite & ~conv,
+            iters=state.iters + (~conv).astype(jnp.int32),
+            err=err0,
         )
         if debug:
             groups = dict(
@@ -441,21 +468,29 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             return new_state, diag
         return new_state
 
-    return state0, step, L
+    def final_check(state: IpmState):
+        """The in-step convergence test lags one iteration; re-test the
+        final iterate."""
+        err0 = kkt_error(state.W, state.nu, state.s, state.zL, state.zU,
+                         jnp.zeros((), dt))
+        conv = state.converged | (
+            (err0 <= cfg.tol) & (state.mu <= 10.0 * cfg.mu_min)
+        )
+        return state._replace(
+            err=jnp.where(state.converged, state.err, err0),
+            converged=conv,
+        )
+
+    return state0, step, L, final_check
 
 
 def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None):
     """Solve one OBCA instance.  All shapes static; call under jit/vmap."""
-    state0, step, L = _make_step(spec, cfg, W0)
+    state0, step, L, final_check = _make_step(spec, cfg, W0)
 
-    def loop_body(_, state):
-        new = step(state)
-        # freeze converged scenarios
-        return jax.tree.map(
-            lambda a, b: jnp.where(state.converged, a, b), state, new
-        )
-
-    final = jax.lax.fori_loop(0, cfg.max_iter, loop_body, state0)
+    final = jax.lax.fori_loop(0, cfg.max_iter,
+                              lambda _, s: step(s), state0)
+    final = final_check(final)
 
     W = final.W
     status = jnp.where(
@@ -473,7 +508,7 @@ def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None):
 def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,
                   n_iter: int = 30, printer=print):
     """Host-side iteration loop with per-iteration diagnostics."""
-    state0, step, L = _make_step(spec, cfg, W0, debug=True)
+    state0, step, L, _final_check = _make_step(spec, cfg, W0, debug=True)
     jstep = jax.jit(step)
     state = state0
     for i in range(n_iter):

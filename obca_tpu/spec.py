@@ -130,7 +130,8 @@ class ProblemSpec:
 
 
 @partial(_register,
-         meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype"))
+         meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
+                      "residual_dtype"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -193,6 +194,31 @@ class SolverConfig:
     ls_steps: int = 12
     refine_iters: int = 3
     dtype: Any = jnp.float64
+    # Refinement residuals may use a wider dtype than the iterate (the
+    # f32 fast path refines against f64 matvecs — elementwise only, so
+    # cheap even where f64 is emulated).  None = same as `dtype`.
+    residual_dtype: Any = None
+
+
+def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
+                      **overrides) -> "SolverConfig":
+    """Tuned single-precision solver configuration (the TPU fast path):
+    heavier factor regularization (the pivoting-free Schur chain
+    amplifies f32 roundoff), more refinement steps, f64 refinement
+    residuals, and a barrier floor matched to f32 conditioning."""
+    kw = dict(
+        dtype=jnp.float32,
+        residual_dtype=jnp.float64,
+        tol=jnp.asarray(tol),
+        mu_min=jnp.asarray(3e-6),
+        delta_w=jnp.asarray(1e-7),
+        delta_c=jnp.asarray(1e-7),
+        delta_factor=jnp.asarray(1e-4),
+        refine_iters=10,
+        max_iter=max_iter,
+    )
+    kw.update(overrides)
+    return SolverConfig(**kw)
 
 
 # ---------------------------------------------------------------------------

@@ -80,5 +80,5 @@ def test_ipm_batch_vmap():
         dataclasses.replace(base, x0=base.x0.at[1].add(-0.5))
     )
     np.testing.assert_allclose(
-        np.asarray(res.U[0]), np.asarray(single.U), atol=3e-5
+        np.asarray(res.U[0]), np.asarray(single.U), atol=1e-3
     )
