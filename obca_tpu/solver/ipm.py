@@ -259,6 +259,11 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         d = blocktri.solve_refined(K_s, E_s, fac, rhs_s,
                                    iters=cfg.refine_iters,
                                    residual_dtype=cfg.residual_dtype)
+        # Step-quality gate: an occasional ill-conditioned system makes
+        # the refined solve diverge; such garbage directions must never
+        # be taken (they poison the iterate even at tiny step sizes).
+        lin_res = jnp.max(jnp.abs(blocktri.matvec(K_s, E_s, d) - rhs_s))
+        good_solve = lin_res <= 0.1 * (1.0 + jnp.max(jnp.abs(rhs_s)))
         d = d * dsc
         dW = d[:, : L.nw]
         dnu = d[:, L.nw:]
@@ -404,7 +409,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             & jnp.all(jnp.isfinite(s_n)) & jnp.all(jnp.isfinite(zL_n))
             & jnp.all(jnp.isfinite(zU_n))
         )
-        take = finite & ~conv
+        take = finite & good_solve & ~conv
 
         def sel(a, b):
             return jnp.where(take, a, b)
@@ -415,15 +420,19 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # (merit rejecting the Newton direction = curvature is wrong
         # along weakly-determined directions).
         ratio = alpha / jnp.maximum(a_pri, 1e-12)
-        healthy = take & (take_full | use_soc | (ratio >= 0.24))
+        # Boundary jam: the fraction-to-boundary cap itself is tiny —
+        # the direction rams a bound (wrong curvature), regardless of
+        # how the merit test rates the capped step.
+        jam = a_pri < 1e-4
+        healthy = take & ~jam & (take_full | use_soc | (ratio >= 0.24))
         crawl = take & ~take_full & ~use_soc & (
-            (~found) | (ratio < 0.05)
+            (~found) | (ratio < 0.05) | jam
         )
         delta_w_n = jnp.where(
             healthy,
             jnp.maximum(cfg.delta_w.astype(dt), state.delta_w * 0.5),
             jnp.where(
-                crawl | (~finite & ~conv),
+                crawl | ((~finite | ~good_solve) & ~conv),
                 jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e4),
                 state.delta_w,
             ),
