@@ -35,11 +35,12 @@ def main():
     B = int(os.environ.get("BENCH_B", "16"))
     N = int(os.environ.get("BENCH_N", "40"))
     max_iter = int(os.environ.get("BENCH_ITERS", "150"))
-    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f64") == "f64" \
+    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f32") == "f64" \
         else jnp.float32
 
     from obca_tpu.solver import ipm
-    from obca_tpu.spec import SolverConfig, reverse_parking_spec
+    from obca_tpu.spec import (SolverConfig, f32_solver_config,
+                               reverse_parking_spec)
     from obca_tpu.warmstart import geometric
 
     base = reverse_parking_spec(N=N, Ts=24.0 / N)
@@ -52,7 +53,10 @@ def main():
             x0=base.x0.at[0].add(dx).at[1].add(dy))
           for dx, dy in shifts],
     )
-    cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
+    if dtype == jnp.float32:
+        cfg = f32_solver_config(max_iter=max_iter)
+    else:
+        cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
 
     @jax.jit
     def pipeline(specs):
