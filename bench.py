@@ -58,23 +58,31 @@ def main():
     else:
         cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
 
+    from obca_tpu.warmstart import lattice
+
     @jax.jit
-    def pipeline(specs):
+    def pipeline(specs, base):
+        # The planner field depends only on (obstacles, goal): compute
+        # once, share across the batch (sweep scenarios randomize the
+        # start pose).
+        field = lattice.plan_field(base)
+
         def one(sp):
-            W0 = geometric.lattice_warm_start(sp, dtype=dtype)
+            W0 = geometric.lattice_warm_start(sp, dtype=dtype,
+                                              field=field)
             return ipm.solve_single(sp, cfg, W0)
 
-        return jax.vmap(one)(specs)
+        return jax.vmap(one, in_axes=(0,))(specs)
 
     # Warmup / compile.
-    res = jax.block_until_ready(pipeline(specs))
+    res = jax.block_until_ready(pipeline(specs, base))
     n_conv = int(np.sum(np.asarray(res.status) == ipm.STATUS_CONVERGED))
 
     # Timed runs.
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = jax.block_until_ready(pipeline(specs))
+        res = jax.block_until_ready(pipeline(specs, base))
     dt_s = (time.perf_counter() - t0) / reps
 
     solves_per_s = B / dt_s

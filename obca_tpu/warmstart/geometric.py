@@ -45,16 +45,25 @@ def warm_start(spec: ProblemSpec, X=None, U=None, tau=None, dtype=None,
     return dual_ws.apply_dual_ws(spec, W, eps=dual_eps)
 
 
-def lattice_warm_start(spec, dtype=None, dual_eps=1e-2, cfg=None):
+def lattice_warm_start(spec, dtype=None, dual_eps=1e-2, cfg=None,
+                       field=None):
     """Full collision-aware warm start: SE(2) lattice plan (C6) +
     staging-goal analytic expansion + velocity profile (C7) + geometric
     duals (C8).  Falls back to the Reeds-Shepp warm start when the
-    lattice does not reach the goal."""
+    lattice does not reach the goal.
+
+    `field`: optional precomputed `lattice.PlanField` — start-pose
+    independent, so batched sweeps over one scenario geometry compute
+    it once and share it across every vmap lane."""
     from obca_tpu.warmstart import lattice as lattice_mod
     from obca_tpu.warmstart import velosmooth
 
     lcfg = cfg or lattice_mod.LatticeConfig()
-    poses, dirs, seg_len, n_valid, reached = lattice_mod.plan(spec, lcfg)
+    if field is None:
+        field = lattice_mod.plan_field(spec, lcfg)
+    poses, dirs, seg_len, n_valid, reached = lattice_mod.extract(
+        spec, field, lcfg
+    )
     X_lat, U_lat = velosmooth.polyline_time_sampled(
         spec, poses, dirs, seg_len
     )

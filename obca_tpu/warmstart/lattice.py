@@ -22,6 +22,7 @@ analytic-expansion role of the reference's `rs_path.jl`).
 from __future__ import annotations
 
 import dataclasses
+import typing as _t
 from functools import partial
 
 import jax
@@ -227,15 +228,26 @@ def staging_goal(spec: ProblemSpec, cfg: LatticeConfig, occ, to_cell,
     return flat, ok, scores, cxs, cys, chs
 
 
-def plan(spec: ProblemSpec, cfg: LatticeConfig = LatticeConfig()):
-    """Coarse collision-free path from spec.x0 to spec.xF.
+class PlanField(_t.NamedTuple):
+    """Start-independent planning artifacts: occupancy, value function,
+    seeds, and the motion tables.  Depends only on (obstacles, goal,
+    bounds) — ONE field serves every start pose of a scenario geometry,
+    which is what makes batched sweeps affordable (the [nx, ny, nh]
+    arrays would otherwise be replicated per vmap lane)."""
 
-    Returns (poses [max_steps+1+N_TAIL, 3], dirs [same], seg_len [same],
-    n_valid, reached) — continuous poses refined with exact primitive
-    arcs, ending with the straight staging->goal tail.  `dirs[i]` /
-    `seg_len[i]` describe the step INTO poses[i] (0 for i = 0 and
-    padding).
-    """
+    V: "jax.Array"
+    occ: "jax.Array"
+    seed_key: "jax.Array"
+    seed_val: "jax.Array"
+    esc_flat: tuple
+    offs: "jax.Array"
+    cost: "jax.Array"
+    prim_dir: "jax.Array"
+    ds: "jax.Array"
+
+
+def plan_field(spec: ProblemSpec, cfg: LatticeConfig = LatticeConfig()):
+    """Compute the start-independent PlanField for a scenario."""
     dt = spec.x0.dtype
     lo, hi, res = _grid_params(spec, cfg)
     offs, deltas, cost, prim_dir, kappas, rho, ds = motion_table(
@@ -312,6 +324,59 @@ def plan(spec: ProblemSpec, cfg: LatticeConfig = LatticeConfig()):
         return Vn, None
 
     V, _ = jax.lax.scan(sweep, V0, None, length=cfg.n_sweeps)
+    return PlanField(V=V, occ=occ, seed_key=seed_key, seed_val=seed_val,
+                     esc_flat=tuple(esc_flat), offs=offs, cost=cost,
+                     prim_dir=prim_dir, ds=ds)
+
+
+def extract(spec: ProblemSpec, field: PlanField,
+            cfg: LatticeConfig = LatticeConfig()):
+    """Extract the path for spec.x0 from a precomputed PlanField.
+
+    Returns (poses [max_steps+1+N_TAIL, 3], dirs [same], seg_len [same],
+    n_valid, reached) — `dirs[i]` / `seg_len[i]` describe the step INTO
+    poses[i] (0 for i = 0 and padding).
+    """
+    dt = spec.x0.dtype
+    lo, hi, res = _grid_params(spec, cfg)
+    hsz = 2.0 * np.pi / cfg.nh
+    V = field.V
+    occ = field.occ
+    seed_key = field.seed_key
+    seed_val = field.seed_val
+    esc_flat = field.esc_flat
+    offs = field.offs
+    cost = field.cost
+    prim_dir = field.prim_dir
+    ds = field.ds
+    big = jnp.asarray(1e9, dt)
+    C = esc_flat[0].shape[0]
+
+    def to_cell(pose):
+        cx = jnp.clip(((pose[0] - lo[0]) / res[0]).astype(jnp.int32),
+                      0, cfg.nx - 1)
+        cy = jnp.clip(((pose[1] - lo[1]) / res[1]).astype(jnp.int32),
+                      0, cfg.ny - 1)
+        ch = jnp.mod(jnp.round(pose[2] / hsz).astype(jnp.int32), cfg.nh)
+        return cx, cy, ch
+
+    ix = jnp.arange(cfg.nx)[:, None, None]
+    iy = jnp.arange(cfg.ny)[None, :, None]
+    ih = jnp.arange(cfg.nh)[None, None, :]
+
+    def succ_idx(p):
+        dx = offs[:, p, 0][None, None, :]
+        dy = offs[:, p, 1][None, None, :]
+        dh = offs[:, p, 2][None, None, :]
+        sx = ix + dx
+        sy = iy + dy
+        sh = jnp.mod(ih + dh, cfg.nh)
+        inb = ((sx >= 0) & (sx < cfg.nx) & (sy >= 0) & (sy < cfg.ny))
+        sxc = jnp.clip(sx, 0, cfg.nx - 1)
+        syc = jnp.clip(sy, 0, cfg.ny - 1)
+        return sxc, syc, sh, inb
+
+    succs = [succ_idx(p) for p in range(6)]
 
     # --- forward extraction, purely in cell space ---
     # Following V in cell coordinates is strictly monotone (each chosen
@@ -428,3 +493,9 @@ def plan(spec: ProblemSpec, cfg: LatticeConfig = LatticeConfig()):
     seg_len = jnp.concatenate([seg_len, tail_lens], axis=0)
     n_valid = jnp.sum((seg_len > 1e-9).astype(jnp.int32))
     return poses, dirs, seg_len, n_valid, reached
+
+
+def plan(spec: ProblemSpec, cfg: LatticeConfig = LatticeConfig()):
+    """Coarse collision-free path from spec.x0 to spec.xF (convenience
+    wrapper: compute the field and extract in one call)."""
+    return extract(spec, plan_field(spec, cfg), cfg)
