@@ -1,0 +1,55 @@
+"""Receding-horizon MPC driver (BASELINE config 5 smoke, SURVEY.md
+§4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obca_tpu import mpc
+from obca_tpu.spec import SolverConfig, reverse_parking_spec
+from obca_tpu.warmstart import geometric
+
+
+def _converged_plan(spec):
+    import jax as _jax
+    from obca_tpu.solver import ipm as _ipm
+
+    W0 = geometric.lattice_warm_start(spec)
+    res = _jax.jit(
+        lambda sp: _ipm.solve_single(sp, SolverConfig(max_iter=200), W0)
+    )(spec)
+    assert int(res.status) == 0
+    return res.W
+
+
+def test_mpc_closed_loop_progresses():
+    spec = reverse_parking_spec(N=40, Ts=0.6)
+    # Warm-started re-solves start from a small barrier (the previous
+    # solution is near-optimal), converging in ~20 iterations.
+    cfg = SolverConfig(max_iter=80, mu_init=jnp.asarray(1e-3))
+    W0 = _converged_plan(spec)
+    n_steps = 6
+    res = jax.jit(
+        lambda sp, w: mpc.run(sp, cfg, n_steps, W0=w)
+    )(spec, W0)
+    status = np.asarray(res.status)
+    # warm-started re-solves converge quickly
+    assert np.all(status == 0)
+    assert np.asarray(res.iters).max() <= 40
+    # the car moves toward the goal
+    d0 = np.linalg.norm(np.asarray(spec.x0[:2] - spec.xF[:2]))
+    dT = np.linalg.norm(np.asarray(res.states[-1][:2] - spec.xF[:2]))
+    assert dT < d0
+
+
+def test_mpc_disturbance_rejection():
+    """Small state disturbances are absorbed; solver stays converged."""
+    spec = reverse_parking_spec(N=40, Ts=0.6)
+    cfg = SolverConfig(max_iter=80, mu_init=jnp.asarray(1e-3))
+    W0 = _converged_plan(spec)
+    key = jax.random.PRNGKey(0)
+    dist = 0.01 * jax.random.normal(key, (5, 4), dtype=jnp.float64)
+    res = jax.jit(
+        lambda sp, w, d: mpc.run(sp, cfg, 5, W0=w, disturbance=d)
+    )(spec, W0, dist)
+    assert np.all(np.asarray(res.status) == 0)
