@@ -213,6 +213,74 @@ def ego_clearance_exact(state, ego_g, obstacles):
     return jnp.where(obstacles.obs_mask > 0, gaps, jnp.inf)
 
 
+def ego_clearance_flat(px, py, h, ego_g, obstacles):
+    """Batched conservative SAT clearance for flat pose arrays.
+
+    px/py/h: [n] arrays.  Returns [n] min-over-obstacles gap.
+
+    TPU-layout-friendly variant of `ego_clearance_exact`: the small
+    geometry dimensions (4 corners, <=8 axes, V vertices) are unrolled
+    in Python so every XLA op is elementwise over the big [n] axis —
+    batching them as trailing tensor dims instead makes XLA pad tiny
+    minor dimensions to the (8, 128) tile and explode memory ~16x.
+    """
+    c, s = jnp.cos(h), jnp.sin(h)
+    front, rear, wl, wr = ego_g[0], ego_g[1], ego_g[2], ego_g[3]
+    body = [(front, wl), (front, -wr), (-rear, -wr), (-rear, wl)]
+    ego_pts = [(px + c * bx - s * by, py + s * bx + c * by)
+               for bx, by in body]
+    # ego axes (unit): rotated +-x / +-y; +-pairs project identically,
+    # so two axes suffice for the interval test.
+    ego_axes = [(c, s), (-s, c)]
+
+    M, V = obstacles.num_obs, obstacles.num_faces
+    A = obstacles.A
+    verts = obstacles.vertices
+    fmask = obstacles.face_mask
+    omask = obstacles.obs_mask
+
+    big = jnp.asarray(jnp.inf, px.dtype)
+    result = jnp.full_like(px, jnp.inf)
+
+    for m in range(M):
+        gaps = []
+        # obstacle vertex projections are scalars per axis; ego
+        # projections are [n] arrays.
+        obs_pts = [(verts[m, v, 0], verts[m, v, 1]) for v in range(V)]
+
+        def axis_gap(ax, ay, valid):
+            pe = [ax * x + ay * y for x, y in ego_pts]
+            po = [ax * ox + ay * oy for ox, oy in obs_pts]
+            emin = pe[0]
+            emax = pe[0]
+            for p in pe[1:]:
+                emin = jnp.minimum(emin, p)
+                emax = jnp.maximum(emax, p)
+            omin = po[0]
+            omax = po[0]
+            for p in po[1:]:
+                omin = jnp.minimum(omin, p)
+                omax = jnp.maximum(omax, p)
+            g = jnp.maximum(omin - emax, emin - omax)
+            return jnp.where(valid, g, -jnp.inf)
+
+        # ego axes (per-cell arrays)
+        for ax, ay in ego_axes:
+            gaps.append(axis_gap(ax, ay, True))
+        # obstacle face axes (scalars; padded faces duplicated to face 0)
+        for v in range(V):
+            ax = jnp.where(fmask[m, v] > 0, A[m, v, 0], A[m, 0, 0])
+            ay = jnp.where(fmask[m, v] > 0, A[m, v, 1], A[m, 0, 1])
+            gaps.append(axis_gap(ax, ay, True))
+
+        gap_m = gaps[0]
+        for g in gaps[1:]:
+            gap_m = jnp.maximum(gap_m, g)
+        gap_m = jnp.where(omask[m] > 0, gap_m, big)
+        result = jnp.minimum(result, gap_m)
+    return result
+
+
 def ego_hrep_world(state, ego_g):
     """Ego polytope in world frame at ``state``: (Aw, bw) with
     E(x) = {y : Aw y <= bw}.  From G R'(y - t) <= g."""

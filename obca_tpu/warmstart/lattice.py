@@ -119,20 +119,15 @@ def occupancy(spec: ProblemSpec, cfg: LatticeConfig):
     hs = jnp.arange(cfg.nh, dtype=dt) * hsz
     margin = spec.d_min + cfg.clearance
 
-    def cell(px, py, h):
-        state = jnp.stack([px, py, h, jnp.zeros((), dt)])
-        gaps = geometry.ego_clearance_exact(state, spec.ego_g,
-                                            spec.obstacles)
-        return (jnp.min(gaps) < margin).astype(dt)
-
-    f = jax.vmap(
-        jax.vmap(
-            jax.vmap(cell, in_axes=(None, None, 0)),
-            in_axes=(None, 0, None),
-        ),
-        in_axes=(0, None, None),
+    # Flat-cell layout (see geometry.ego_clearance_flat: keeping the
+    # big cell axis as the only large dimension avoids XLA padding tiny
+    # trailing dims to full tiles).
+    PX, PY, PH = jnp.meshgrid(xs, ys, hs, indexing="ij")
+    gaps = geometry.ego_clearance_flat(
+        PX.reshape(-1), PY.reshape(-1), PH.reshape(-1), spec.ego_g,
+        spec.obstacles,
     )
-    return f(xs, ys, hs)                  # [nx, ny, nh]
+    return (gaps < margin).astype(dt).reshape(cfg.nx, cfg.ny, cfg.nh)
 
 
 N_TAIL = 16
