@@ -1,0 +1,79 @@
+"""Shared helpers for the benchmark / CLI drivers (SURVEY.md §3.4).
+
+JAX setup must happen before importing obca_tpu modules, hence the
+module-level configuration here.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/obca_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def solver_config(kind: str, max_iter: int):
+    """'f64' (oracle-grade), 'mixed' (f64 iterate + f32 factor), or
+    'f32' (fast path)."""
+    from obca_tpu.spec import (SolverConfig, f32_solver_config,
+                               mixed_solver_config)
+
+    if kind == "f64":
+        return SolverConfig(max_iter=max_iter)
+    if kind == "mixed":
+        return mixed_solver_config(max_iter=max_iter)
+    if kind == "f32":
+        return f32_solver_config(max_iter=max_iter)
+    raise ValueError(f"unknown solver config kind {kind!r}")
+
+
+def scenario_batch(base, B: int, seed: int = 0, spread: float = 0.5):
+    """Stack B randomized instances of a base spec (perturbed start
+    pose) — the sweep workload (BASELINE config 4)."""
+    rng = np.random.default_rng(seed)
+    shifts = rng.uniform(-spread, spread, size=(B, 2))
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[dataclasses.replace(
+            base, x0=base.x0.at[0].add(dx).at[1].add(dy))
+          for dx, dy in shifts],
+    )
+
+
+def jsonl_writer(path):
+    """Append-mode structured metrics log (SURVEY.md §5 observability)."""
+    if path is None:
+        return lambda rec: print(json.dumps(rec), flush=True)
+    f = open(path, "a", buffering=1)
+
+    def write(rec):
+        rec = dict(rec, ts=time.time())
+        f.write(json.dumps(rec) + "\n")
+
+    return write
+
+
+def result_summary(res):
+    import numpy as np
+
+    from obca_tpu.solver import ipm
+
+    st = np.asarray(res.status)
+    return {
+        "n": int(st.size),
+        "converged": int((st == ipm.STATUS_CONVERGED).sum()),
+        "nan_failed": int((st == ipm.STATUS_NAN).sum()),
+        "mean_iters": float(np.mean(np.asarray(res.iters))),
+        "max_err": float(np.max(np.asarray(res.err, np.float64))),
+    }

@@ -1,0 +1,54 @@
+"""Aggregate sweep shards + metrics into a single report.
+
+    python bench/report.py /tmp/obca_sweep
+"""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/obca_sweep"
+    shards = sorted(glob.glob(os.path.join(out, "shard_*.npz")))
+    if not shards:
+        print(json.dumps({"error": f"no shards under {out}"}))
+        return
+    status, iters, err = [], [], []
+    for p in shards:
+        z = np.load(p)
+        status.append(z["status"])
+        iters.append(z["iters"])
+        err.append(z["err"])
+    status = np.concatenate(status)
+    iters = np.concatenate(iters)
+    err = np.concatenate(err).astype(np.float64)
+
+    wall = None
+    mpath = os.path.join(out, "metrics.jsonl")
+    if os.path.exists(mpath):
+        recs = [json.loads(l) for l in open(mpath)]
+        solve_recs = [r for r in recs if "wall_s" in r and "shard" in r]
+        wall = sum(r["wall_s"] for r in solve_recs)
+
+    rep = {
+        "shards": len(shards),
+        "scenarios": int(status.size),
+        "converged": int((status == 0).sum()),
+        "convergence_rate": float((status == 0).mean()),
+        "iters_p50": float(np.percentile(iters, 50)),
+        "iters_p95": float(np.percentile(iters, 95)),
+        "kkt_err_max_converged": float(err[status == 0].max())
+        if (status == 0).any() else None,
+    }
+    if wall:
+        rep["total_solve_wall_s"] = round(wall, 2)
+        rep["solves_per_s"] = round(status.size / wall, 2)
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Receding-horizon MPC benchmark (BASELINE config 5: 10 Hz replanning).
+
+    python bench/run_mpc.py --rollouts 64 --steps 30 --config mixed
+
+Runs `rollouts` closed-loop MPC simulations (vmapped — one XLA program)
+and reports achieved replan rate: the wall time per MPC step across the
+whole fleet must beat the 100 ms control period for a 10 Hz claim.
+"""
+
+import argparse
+import json
+import time
+
+import _common
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rollouts", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--N", type=int, default=40)
+    ap.add_argument("--config", choices=["f64", "mixed", "f32"],
+                    default="mixed")
+    ap.add_argument("--max-iter", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from obca_tpu import mpc
+    from obca_tpu.spec import reverse_parking_spec
+
+    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N)
+    cfg = _common.solver_config(args.config, args.max_iter)
+    specs = _common.scenario_batch(base, args.rollouts, seed=args.seed,
+                                   spread=0.3)
+
+    @jax.jit
+    def fleet(specs):
+        return jax.vmap(
+            lambda sp: mpc.run(sp, cfg, args.steps)
+        )(specs)
+
+    res = jax.block_until_ready(fleet(specs))   # compile + warmup
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(fleet(specs))
+    wall = time.perf_counter() - t0
+
+    st = np.asarray(res.status)                 # [R, T]
+    per_step_ms = wall / args.steps * 1e3
+    print(json.dumps({
+        "rollouts": args.rollouts,
+        "steps": args.steps,
+        "config": args.config,
+        "wall_s": round(wall, 3),
+        "ms_per_mpc_step_fleet": round(per_step_ms, 2),
+        "achieved_hz_fleet": round(args.steps / wall, 2),
+        "solves_per_s": round(args.rollouts * args.steps / wall, 1),
+        "step_convergence_rate": float((st == 0).mean()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

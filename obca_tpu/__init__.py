@@ -16,6 +16,8 @@ Layers (bottom-up):
   ``obca_tpu.warmstart``  — geometric / Hybrid-A* / velocity / dual warm starts
   ``obca_tpu.parallel``   — shard_map scale-out over scenario meshes
   ``obca_tpu.mpc``        — receding-horizon driver
+  ``obca_tpu.nav``        — point-mass navigation problem family (the
+                            reference's quadcopter-nav example)
 """
 
 from obca_tpu.spec import (  # noqa: F401
@@ -24,6 +26,8 @@ from obca_tpu.spec import (  # noqa: F401
     Obstacles,
     reverse_parking_spec,
     parallel_parking_spec,
+    mixed_solver_config,
+    f32_solver_config,
 )
 
 __version__ = "0.1.0"

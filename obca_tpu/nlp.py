@@ -166,17 +166,22 @@ def stage_constraints_local(L: Layout, w, aux, spec: ProblemSpec, k):
     bc_target = is0 * spec.x0 + (1.0 - is0) * spec.xF
     c_bc = x - bc_target
 
-    c_dyn = x_next - dynamics.step(x, u, tau, spec.Ts, spec.wheelbase)
-
     if spec.fix_time:
-        # Interior stages: consensus; stage N (caller masks dyn): pin
-        # tau_N = 1.  The caller selects which via activity masks — here we
-        # emit both semantics through one row by relying on the mask
-        # arrays: interior rows use (tau_next - tau), stage-N row uses
-        # (tau - 1).  We pass stage N aux with tau_next = 1 and emit
-        # (tau_next - tau) uniformly, which equals (1 - tau_N) there.
-        c_tau = tau_next - tau
+        # Fixed-time problems: tau is NOT threaded through the dynamics
+        # (constant 1.0) and each stage carries the local equality
+        # tau_k - 1 = 0.  The earlier consensus-chain formulation
+        # (tau_{k+1} = tau_k plus a stage-N pin) is mathematically
+        # equivalent but *numerically degenerate*: the tau-dual chain
+        # coupled through d f/d tau forms a near-singular "drifting
+        # multiplier" mode that stalls the interior-point method (seen
+        # in the nav problem; dense SVD shows sigma_min ~ delta_c with
+        # an inconsistent RHS).  Local pins are diagonal and full-rank.
+        c_dyn = x_next - dynamics.step(x, u, jnp.ones((), dt), spec.Ts,
+                                       spec.wheelbase)
+        c_tau = tau - 1.0
     else:
+        c_dyn = x_next - dynamics.step(x, u, tau, spec.Ts,
+                                       spec.wheelbase)
         c_tau = tau_next - tau  # stage-N row masked; tau floats w/ bounds
 
     eq, dist, norm_sq = obca.obca_terms(
@@ -442,14 +447,20 @@ def objective_gradient(L: Layout, W, spec: ProblemSpec):
     return jax.grad(lambda Wf: objective(L, Wf, spec))(W)
 
 
-def constraint_blocks(L: Layout, W, nu, spec: ProblemSpec):
+def constraint_blocks(L: Layout, W, nu, spec: ProblemSpec,
+                      c_fn=None):
     """Per-stage constraint Jacobians J [N+1, nc, nw] and multiplier-
-    weighted constraint Hessians Hc [N+1, nw, nw] via per-stage AD."""
+    weighted constraint Hessians Hc [N+1, nw, nw] via per-stage AD.
+
+    `c_fn(L, w, aux, spec, k)` defaults to this module's parking-problem
+    stage constraints; other problem families (`obca_tpu.nav`) pass
+    their own while reusing the identical block structure."""
+    c_fn = c_fn or stage_constraints_local
     x_next, tau_next, u_prev = stage_aux(L, W, spec)
     ks = jnp.arange(L.N + 1)
 
     def c_local(w, xn, tn, up, k):
-        return stage_constraints_local(L, w, (xn, tn, up), spec, k)
+        return c_fn(L, w, (xn, tn, up), spec, k)
 
     def jac_one(w, xn, tn, up, k):
         return jax.jacfwd(c_local)(w, xn, tn, up, k)
@@ -481,7 +492,10 @@ def coupling_block(L: Layout, spec: ProblemSpec, active):
     dyn_rows = nw + np.arange(L.r_dyn.start, L.r_dyn.stop)
     x_cols = np.arange(0, 4)
     E = E.at[dyn_rows, x_cols].set(1.0)
-    E = E.at[nw + L.i_taulink, L.i_tau].set(1.0)
+    if not L.fix_time:
+        # Free-time consensus row tau_{k+1} - tau_k couples stages;
+        # fixed-time uses local tau pins (no coupling).
+        E = E.at[nw + L.i_taulink, L.i_tau].set(1.0)
 
     iu = np.arange(L.sl_u.start, L.sl_u.stop)
     rate_cols = nw + np.arange(L.r_rate.start, L.r_rate.stop)
@@ -509,6 +523,154 @@ def coupling_block(L: Layout, spec: ProblemSpec, active):
     return E[None] - last[:, None, None] * E_last_fix[None]
 
 
+def constraint_blocks_analytic(L: Layout, W, nu, spec: ProblemSpec):
+    """Hand-structured constraint Jacobians/Hessians (SURVEY.md §2.2
+    C11): identical output to :func:`constraint_blocks` (the AD
+    reference, kept for tests), ~20-50x cheaper on TPU because the only
+    AD left is over the 7 dynamics inputs (x, u, tau) — everything else
+    (OBCA dual rows, norm, dist, bc, tau-link, rate) is written as
+    closed-form sparse blocks assembled with vectorized scatters.
+    """
+    from obca_tpu.geometry import EGO_G, rotation
+
+    Np1, nw, nc = L.N + 1, L.nw, L.nc
+    M, V = L.M, L.V
+    dt = W.dtype
+    x = W[:, L.sl_x]                         # [K, 4]
+    lam = W[:, L.sl_lam].reshape(Np1, M, V)  # [K, M, V]
+    psi = x[:, 2]
+    t = x[:, :2]
+    A = spec.obstacles.A                     # [M, V, 2]
+    b = spec.obstacles.b                     # [M, V]
+    G = jnp.asarray(EGO_G, dt)               # [4, 2]
+    sgn = 1.0 if spec.signed else -1.0       # c_norm = sgn*(norm_sq - 1)
+
+    cth, sth = jnp.cos(psi), jnp.sin(psi)
+    # R = [[c, -s], [s, c]]; R_p = dR/dpsi; R_pp = -R.
+    R = jnp.stack([jnp.stack([cth, -sth], -1),
+                   jnp.stack([sth, cth], -1)], -2)          # [K, 2, 2]
+    R_p = jnp.stack([jnp.stack([-sth, -cth], -1),
+                     jnp.stack([cth, -sth], -1)], -2)
+
+    s = jnp.einsum("mvd,kmv->kmd", A, lam)                  # A'lam [K,M,2]
+    Rt_s = jnp.einsum("kde,kmd->kme", R, s)                 # R's   [K,M,2]
+    Rpt_s = jnp.einsum("kde,kmd->kme", R_p, s)              # R_p's
+    Rt_A = jnp.einsum("kde,mvd->kmve", R, A)                # R'a_v [K,M,V,2]
+    Rpt_A = jnp.einsum("kde,mvd->kmve", R_p, A)
+
+    # ---- Jacobian -------------------------------------------------------
+    J = jnp.zeros((Np1, nc, nw), dt)
+    i_bc = np.arange(L.r_bc.start, L.r_bc.stop)
+    J = J.at[:, i_bc, i_bc].set(1.0)
+
+    # Dynamics rows: c = x_next - f(x, u, tau) -> -df/d(x,u,tau),
+    # via AD over just the 7 dynamics inputs (cheap, exact).  Fixed-time
+    # dynamics use constant tau = 1 (see stage_constraints_local).
+    def f7(z):
+        tau_eff = jnp.ones((), dt) if L.fix_time else z[6]
+        return dynamics.step(z[:4], z[4:6], tau_eff, spec.Ts,
+                             spec.wheelbase)
+
+    Jf = jax.vmap(jax.jacfwd(f7))(W[:, :7])                 # [K, 4, 7]
+    J = J.at[:, L.r_dyn, :7].set(-Jf)
+    # Fixed-time: local pin tau - 1 (d/dtau = +1); free-time consensus
+    # tau_next - tau (d/dtau = -1).
+    J = J.at[:, L.i_taulink, L.i_tau].set(
+        1.0 if L.fix_time else -1.0)
+
+    # OBCA equality rows (m-major pairs): d/dpsi, d/dlam, d/dmu.
+    eq0 = L.r_obca_eq.start
+    eq_rows = eq0 + np.arange(2 * M)                        # [2M]
+    J = J.at[:, eq_rows, 2].set(Rpt_s.reshape(Np1, 2 * M))
+    lam0 = L.sl_lam.start
+    # rows (m, d) x cols lam (m, v): block-diagonal in m.
+    rr = (eq0 + 2 * np.arange(M)[:, None, None]
+          + np.arange(2)[None, :, None])                    # [M, 2, 1]
+    cc = (lam0 + V * np.arange(M)[:, None, None]
+          + np.arange(V)[None, None, :])                    # [M, 1, V]
+    J = J.at[:, jnp.broadcast_to(rr, (M, 2, V)),
+             jnp.broadcast_to(cc, (M, 2, V))].set(
+        jnp.swapaxes(Rt_A, -1, -2))                         # [K, M, 2, V]
+    mu0 = L.sl_mu.start
+    rm = (eq0 + 2 * np.arange(M)[:, None, None]
+          + np.arange(2)[None, :, None])
+    cm = (mu0 + 4 * np.arange(M)[:, None, None]
+          + np.arange(4)[None, None, :])
+    J = J.at[:, jnp.broadcast_to(rm, (M, 2, 4)),
+             jnp.broadcast_to(cm, (M, 2, 4))].set(
+        jnp.broadcast_to(G.T[None, None], (Np1, M, 2, 4)))
+
+    # Norm rows: d/dlam(m,v) = sgn * 2 (a_v . s_m).
+    n0 = L.r_norm.start
+    rn = (n0 + np.arange(M))[:, None]                       # [M, 1]
+    cn = (lam0 + V * np.arange(M)[:, None] + np.arange(V)[None, :])
+    J = J.at[:, rn, cn].set(
+        sgn * 2.0 * jnp.einsum("mvd,kmd->kmv", A, s))
+    # Dist rows: d/dt = s_m, d/dlam = a_v.t - b_v, d/dmu = -g.
+    d0 = L.r_dist.start
+    rd = (d0 + np.arange(M))[:, None]
+    J = J.at[:, rd[:, 0], 0].set(s[..., 0])
+    J = J.at[:, rd[:, 0], 1].set(s[..., 1])
+    face_val = jnp.einsum("mvd,kd->kmv", A, t) - b[None]    # [K, M, V]
+    J = J.at[:, rd, cn].set(face_val)
+    cmu = (mu0 + 4 * np.arange(M)[:, None] + np.arange(4)[None, :])
+    J = J.at[:, rd, cmu].set(
+        jnp.broadcast_to(-spec.ego_g[None, None], (Np1, M, 4)))
+
+    # Rate rows: [lim - du0, lim + du0, lim - du1, lim + du1],
+    # du = u - u_prev -> d/du = [-1, +1] per input.
+    g0 = L.r_rate.start
+    iu = np.arange(L.sl_u.start, L.sl_u.stop)
+    J = J.at[:, g0 + np.arange(4),
+             iu[np.array([0, 0, 1, 1])]].set(
+        jnp.asarray([-1.0, 1.0, -1.0, 1.0], dt))
+
+    # ---- nu-weighted constraint Hessian --------------------------------
+    nu_dyn = nu[:, L.r_dyn]                                 # [K, 4]
+    nu_eq = nu[:, L.r_obca_eq].reshape(Np1, M, 2)
+    nu_nrm = nu[:, L.r_norm]                                # [K, M]
+    nu_dst = nu[:, L.r_dist]
+
+    def hess7(z, nu4):
+        return jax.hessian(lambda zz: jnp.dot(nu4, f7(zz)))(z)
+
+    H7 = -jax.vmap(hess7)(W[:, :7], nu_dyn)                 # [K, 7, 7]
+    Hc = jnp.zeros((Np1, nw, nw), dt)
+    Hc = Hc.at[:, :7, :7].set(H7)
+
+    # eq rows: psi-psi (R_pp = -R) and psi-lam cross terms.
+    Hc = Hc.at[:, 2, 2].add(-jnp.einsum("kmd,kmd->k", nu_eq, Rt_s))
+    h_psilam = jnp.einsum("kmd,kmvd->kmv", nu_eq, Rpt_A)    # [K, M, V]
+    flat = h_psilam.reshape(Np1, M * V)
+    lam_cols = lam0 + np.arange(M * V)
+    Hc = Hc.at[:, 2, lam_cols].add(flat)
+    Hc = Hc.at[:, lam_cols, 2].add(flat)
+    # norm rows: 2*sgn*nu_m * A A' per obstacle (block-diag in m).
+    AAt = jnp.einsum("mvd,mwd->mvw", A, A)                  # [M, V, V]
+    h_ll = 2.0 * sgn * nu_nrm[..., None, None] * AAt[None]  # [K, M, V, V]
+    rl = (lam0 + V * np.arange(M)[:, None, None]
+          + np.arange(V)[None, :, None])                    # [M, V, 1]
+    cl = (lam0 + V * np.arange(M)[:, None, None]
+          + np.arange(V)[None, None, :])                    # [M, 1, V]
+    Hc = Hc.at[:, jnp.broadcast_to(rl, (M, V, V)),
+               jnp.broadcast_to(cl, (M, V, V))].add(h_ll)
+    # dist rows: t-lam cross terms nu_m * a_v.
+    h_tl = nu_dst[..., None, None] * A[None]                # [K, M, V, 2]
+    for d in range(2):
+        h_d = h_tl[..., d].reshape(Np1, M * V)
+        Hc = Hc.at[:, d, lam_cols].add(h_d)
+        Hc = Hc.at[:, lam_cols, d].add(h_d)
+    return J, Hc
+
+
+def default_init(spec: ProblemSpec, dtype=None):
+    """Cold-start warm start for the parking problem: interpolated
+    states + geometric duals (SURVEY.md §2.2 C8)."""
+    from obca_tpu.warmstart import geometric
+
+    return geometric.warm_start(spec, dtype=dtype)
+
+
 def assemble_kkt(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
                  spec: ProblemSpec, active, delta_w):
     """Assemble the per-stage KKT diagonal blocks and RHS.
@@ -524,7 +686,7 @@ def assemble_kkt(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
       rhs_c    [N+1, nc]   negative primal residual rows
     Returns (K [N+1, nz, nz], E [N, nz, nz], rhs [N+1, nz]).
     """
-    J, Hc = constraint_blocks(L, W, nu * active, spec)
+    J, Hc = constraint_blocks_analytic(L, W, nu * active, spec)
     Hobj, _ = objective_stage_hessians(L, spec)
     Jm = J * active[:, :, None]
 

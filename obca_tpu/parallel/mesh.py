@@ -63,6 +63,30 @@ def solve_sharded(specs: ProblemSpec, cfg: SolverConfig, mesh: Mesh,
     return run(specs, W0)
 
 
+def solve_sharded_fn(pipeline, specs, mesh: Mesh):
+    """Shard an arbitrary batched solve pipeline (e.g. warm start +
+    solve) over the mesh's scenario axis.  `pipeline(specs_batch)` must
+    return a SolveResult batch; metrics are psum-reduced as in
+    :func:`solve_sharded`."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    specs = jax.device_put(specs, shard)
+
+    @jax.jit
+    def run(specs):
+        res = pipeline(specs)
+        metrics = {
+            "n_converged": jnp.sum(
+                (res.status == ipm.STATUS_CONVERGED).astype(jnp.int32)
+            ),
+            "max_err": jnp.max(res.err),
+            "mean_iters": jnp.mean(res.iters.astype(jnp.float32)),
+        }
+        return res, metrics
+
+    return run(specs)
+
+
 def dryrun_step(specs: ProblemSpec, cfg: SolverConfig, mesh: Mesh):
     """One sharded solve step on tiny shapes — used by the multi-chip
     dry-run harness to validate that the full solver compiles and

@@ -164,19 +164,32 @@ def matvec(K, E, x):
 def solve_refined(K, E, fac: BlockTriFactor, r, iters: int = 1,
                   residual_dtype=None):
     """Solve with iterative refinement: the factorization may be in a
-    lower precision; residuals are computed in `residual_dtype`
-    (default: r.dtype) and corrections re-solved with the same factors.
+    lower precision than the system/RHS (the TPU mixed-precision path:
+    f32 factor + f64 iterate).  Residuals are computed in
+    `residual_dtype` (default: r.dtype), correction solves run entirely
+    in the factor's dtype (keeping the triangular-solve matmuls on the
+    fast MXU path), and the solution accumulates in r.dtype.
     """
     rd = residual_dtype or r.dtype
-    x = solve(fac, r)
+    fd = fac.Sinv.dtype
+    Krd, Erd, rrd = K.astype(rd), E.astype(rd), r.astype(rd)
+    x = jnp.zeros_like(r)
 
     def body(x, _):
-        res = r.astype(rd) - matvec(K.astype(rd), E.astype(rd),
-                                    x.astype(rd))
-        dx = solve(fac, res.astype(x.dtype))
-        return x + dx, None
+        res = rrd - matvec(Krd, Erd, x.astype(rd))
+        dx = solve(fac, res.astype(fd)).astype(rd)
+        # Minimal-residual damping: omega minimizes ||res - omega*T dx||,
+        # so the refinement is monotone in the residual norm and cannot
+        # diverge even when the regularized factor is a poor
+        # preconditioner (ill-conditioned small-mu KKT systems — the
+        # failure mode of plain Richardson refinement in low precision).
+        Tdx = matvec(Krd, Erd, dx)
+        den = jnp.sum(Tdx * Tdx)
+        omega = jnp.where(den > 0, jnp.sum(res * Tdx) / jnp.maximum(
+            den, jnp.finfo(rd).tiny), 0.0)
+        return x + (omega * dx).astype(x.dtype), None
 
-    x, _ = jax.lax.scan(body, x, None, length=iters)
+    x, _ = jax.lax.scan(body, x, None, length=iters + 1)
     return x
 
 

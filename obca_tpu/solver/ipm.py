@@ -74,28 +74,26 @@ class _Static:
     L: nlp.Layout
 
 
-def _masks_and_bounds(L, spec):
-    active, is_eq = nlp.constraint_masks(L, spec)
+def _masks_and_bounds(L, spec, prob=nlp):
+    active, is_eq = prob.constraint_masks(L, spec)
     eq_row = active * is_eq[None, :]
     in_row = active * (1.0 - is_eq)[None, :]
-    lo, hi, has_lo, has_hi, _pin = nlp.bound_arrays(L, spec)
+    lo, hi, has_lo, has_hi, _pin = prob.bound_arrays(L, spec)
     return active, eq_row, in_row, lo, hi, has_lo, has_hi
 
 
-def default_init(spec: ProblemSpec, dtype=None):
+def default_init(spec: ProblemSpec, dtype=None, prob=nlp):
     """Cold-start warm start: interpolated states + geometric duals
     (SURVEY.md §2.2 C8 — the dual init is essential: with symmetric
     lam the norm-constraint Jacobian row vanishes and the Newton system
     is singular)."""
-    from obca_tpu.warmstart import geometric
-
-    return geometric.warm_start(spec, dtype=dtype)
+    return prob.default_init(spec, dtype=dtype)
 
 
 def _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
-           has_lo, has_hi):
-    f = nlp.objective(L, W, spec)
-    c = nlp.all_constraints(L, W, spec)
+           has_lo, has_hi, prob=nlp):
+    f = prob.objective(L, W, spec)
+    c = prob.all_constraints(L, W, spec)
     slo = jnp.where(has_lo[None, :] > 0, W - lo[None, :], 1.0)
     shi = jnp.where(has_hi[None, :] > 0, hi[None, :] - W, 1.0)
     good = (jnp.all(slo > 0) & jnp.all(shi > 0)
@@ -112,21 +110,30 @@ def _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
 
 
 def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
-               debug: bool = False):
-    """Build (initial state, step function) for one OBCA instance."""
-    L = nlp.layout_of(spec)
+               debug: bool = False, prob=nlp):
+    """Build (initial state, step function) for one OBCA instance.
+
+    `prob` is the *problem module* — any module exposing the stage-
+    structured NLP interface (`layout_of`, `constraint_masks`,
+    `bound_arrays`, `all_constraints`, `objective`, `total_lagrangian`,
+    `assemble_kkt`, `default_init`).  `obca_tpu.nlp` is the parking
+    problem (reference `ParkingSignedDist.jl`/`ParkingDist.jl`);
+    `obca_tpu.nav` is the point-mass navigation problem (reference
+    quadcopter-nav example — SURVEY.md §2.2 C5).
+    """
+    L = prob.layout_of(spec)
     dt = cfg.dtype
     spec = jax.tree.map(lambda x: x.astype(dt)
                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
                         spec)
     active, eq_row, in_row, lo, hi, has_lo, has_hi = \
-        _masks_and_bounds(L, spec)
+        _masks_and_bounds(L, spec, prob)
     active = active.astype(dt)
     eq_row, in_row = eq_row.astype(dt), in_row.astype(dt)
     Np1 = L.N + 1
 
     if W0 is None:
-        W0 = default_init(spec, dt)
+        W0 = default_init(spec, dt, prob)
     W0 = W0.astype(dt)
     # Anchor the proximal dual regularization at the warm-start duals
     # (see ProblemSpec.dual_ref).
@@ -138,7 +145,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     )
 
     mu0 = cfg.mu_init.astype(dt)
-    c0 = nlp.all_constraints(L, W0, spec)
+    c0 = prob.all_constraints(L, W0, spec)
     s0 = jnp.where(in_row > 0, jnp.maximum(c0, 1e-2), 1.0)
     nu0 = jnp.where(in_row > 0, -mu0 / s0, 0.0)
     zL0 = jnp.where(has_lo[None, :] > 0,
@@ -156,7 +163,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     )
 
     grad_lag = jax.grad(
-        lambda W, nu: nlp.total_lagrangian(L, W, nu, spec, active)
+        lambda W, nu: prob.total_lagrangian(L, W, nu, spec, active)
     )
 
     def kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu):
@@ -184,7 +191,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
     def kkt_error(W, nu, s, zL, zU, mu):
         gl = grad_lag(W, nu)
-        c = nlp.all_constraints(L, W, spec)
+        c = prob.all_constraints(L, W, spec)
         return kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu)
 
     def step(state: IpmState) -> IpmState:
@@ -195,7 +202,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # --- one residual evaluation serves convergence test, barrier
         # update, and Newton RHS ---
         gl = grad_lag(W, nu)
-        c = nlp.all_constraints(L, W, spec)
+        c = prob.all_constraints(L, W, spec)
         err0 = kkt_error_pieces(gl, c, W, nu, s, zL, zU,
                                 jnp.zeros((), dt))
         err_mu = kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu)
@@ -226,7 +233,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
                  + in_row * (-(c - mu / y))
                  + (1.0 - active) * nu)
 
-        K, E, rhs = nlp.assemble_kkt(
+        K, E, rhs = prob.assemble_kkt(
             L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c, spec, active,
             state.delta_w,
         )
@@ -254,8 +261,14 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         reg = jnp.concatenate(
             [jnp.full((L.nw,), df, dt), jnp.full((L.nc,), -df, dt)]
         )
-        K_f = K_s + jnp.diag(reg)[None, :, :]
-        fac = blocktri.factor(K_f, E_s, nw=L.nw)
+        # Mixed precision: the factorization (the FLOPs hot spot — all
+        # nz^3 matmuls) may run in a narrower dtype than the iterate
+        # (cfg.factor_dtype, e.g. f32 factor under an f64 iterate on
+        # TPU); refinement against the full-precision system recovers
+        # the accurate direction (SURVEY.md §7 hard part 1).
+        fd = cfg.factor_dtype or dt
+        K_f = (K_s + jnp.diag(reg)[None, :, :]).astype(fd)
+        fac = blocktri.factor(K_f, E_s.astype(fd), nw=L.nw)
         d = blocktri.solve_refined(K_s, E_s, fac, rhs_s,
                                    iters=cfg.refine_iters,
                                    residual_dtype=cfg.residual_dtype)
@@ -320,14 +333,14 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         rho = jnp.maximum(cfg.merit_rho.astype(dt),
                           2.0 * jnp.max(jnp.abs(nu)))
         phi0 = _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
-                      has_lo, has_hi)
+                      has_lo, has_hi, prob)
 
         alphas = a_pri * 0.5 ** jnp.arange(cfg.ls_steps, dtype=dt)
         phis = jax.vmap(
             lambda a: _merit(L, W + a * dW,
                              jnp.where(in_row > 0, s + a * ds, 1.0),
                              spec, cfg, mu, rho, eq_row, in_row, lo, hi,
-                             has_lo, has_hi)
+                             has_lo, has_hi, prob)
         )(alphas)
         ok = phis <= phi0 - 1e-8 * alphas * jnp.abs(phi0)
         found = jnp.any(ok)
@@ -342,7 +355,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # improves there.
         W_full = W + a_pri * dW
         s_full = jnp.where(in_row > 0, s + a_pri * ds, 1.0)
-        c_full = nlp.all_constraints(L, W_full, spec)
+        c_full = prob.all_constraints(L, W_full, spec)
         rhs_soc = jnp.concatenate(
             [
                 jnp.zeros_like(rhs_w),
@@ -350,8 +363,12 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             ],
             axis=-1,
         )
-        d_soc = blocktri.solve_refined(K, E, fac, rhs_soc, iters=1,
+        # The factors belong to the Ruiz-scaled system: scale the SOC
+        # RHS in, refine there, scale the direction back out.
+        d_soc = blocktri.solve_refined(K_s, E_s, fac, rhs_soc * dsc,
+                                       iters=1,
                                        residual_dtype=cfg.residual_dtype)
+        d_soc = d_soc * dsc
         dW_soc = d_soc[:, : L.nw]
         dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
         ds_soc = jnp.where(in_row > 0, -(s / y) * dy_soc, 0.0)
@@ -366,7 +383,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             & jnp.all(jnp.where(in_row > 0, s_soc, 1.0) > 0)
         )
         phi_soc = _merit(L, W_soc, s_soc, spec, cfg, mu, rho, eq_row,
-                         in_row, lo, hi, has_lo, has_hi)
+                         in_row, lo, hi, has_lo, has_hi, prob)
         take_soc = soc_ok & (phi_soc <= phi0 - 1e-8 * jnp.abs(phi0)) & (
             alpha < a_pri
         )
@@ -451,9 +468,10 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             groups = dict(
                 bc=L.r_bc, dyn=L.r_dyn, tau=slice(L.i_taulink,
                                                   L.i_taulink + 1),
-                oeq=L.r_obca_eq, nrm=L.r_norm, dst=L.r_dist,
-                rate=L.r_rate,
+                nrm=L.r_norm, dst=L.r_dist, rate=L.r_rate,
             )
+            if hasattr(L, "r_obca_eq"):
+                groups["oeq"] = L.r_obca_eq
             linres = jnp.max(jnp.abs(blocktri.matvec(K, E, d) - rhs))
             diag = dict(
                 linres=linres, take_full=take_full, take_soc=use_soc,
@@ -493,9 +511,9 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     return state0, step, L, final_check
 
 
-def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None):
+def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None, prob=nlp):
     """Solve one OBCA instance.  All shapes static; call under jit/vmap."""
-    state0, step, L, final_check = _make_step(spec, cfg, W0)
+    state0, step, L, final_check = _make_step(spec, cfg, W0, prob=prob)
 
     final = jax.lax.fori_loop(0, cfg.max_iter,
                               lambda _, s: step(s), state0)
@@ -509,15 +527,16 @@ def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None):
     return SolveResult(
         W=W, nu=final.nu,
         X=W[:, L.sl_x], U=W[: L.N, L.sl_u], tau=W[0, L.i_tau],
-        obj=nlp.objective(L, W, spec),
+        obj=prob.objective(L, W, spec),
         err=final.err, iters=final.iters, status=status, mu=final.mu,
     )
 
 
 def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,
-                  n_iter: int = 30, printer=print):
+                  n_iter: int = 30, printer=print, prob=nlp):
     """Host-side iteration loop with per-iteration diagnostics."""
-    state0, step, L, _final_check = _make_step(spec, cfg, W0, debug=True)
+    state0, step, L, _final_check = _make_step(spec, cfg, W0, debug=True,
+                                               prob=prob)
     jstep = jax.jit(step)
     state = state0
     for i in range(n_iter):
@@ -552,8 +571,10 @@ def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     return state
 
 
-def solve_batch(specs: ProblemSpec, cfg: SolverConfig, W0=None):
+def solve_batch(specs: ProblemSpec, cfg: SolverConfig, W0=None, prob=nlp):
     """vmap over a stacked-spec batch (leading axis on every leaf)."""
     if W0 is None:
-        return jax.vmap(lambda sp: solve_single(sp, cfg))(specs)
-    return jax.vmap(lambda sp, w: solve_single(sp, cfg, w))(specs, W0)
+        return jax.vmap(lambda sp: solve_single(sp, cfg, prob=prob))(specs)
+    return jax.vmap(
+        lambda sp, w: solve_single(sp, cfg, w, prob=prob)
+    )(specs, W0)

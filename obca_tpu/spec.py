@@ -131,7 +131,7 @@ class ProblemSpec:
 
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
-                      "residual_dtype"))
+                      "residual_dtype", "factor_dtype"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -198,6 +198,31 @@ class SolverConfig:
     # f32 fast path refines against f64 matvecs — elementwise only, so
     # cheap even where f64 is emulated).  None = same as `dtype`.
     residual_dtype: Any = None
+    # The KKT factorization (all the nz^3 matmuls — the FLOPs hot spot)
+    # may run narrower than the iterate: f32 factor + f64 iterate is
+    # the TPU fast path (MXU-speed factor, f64-accurate directions via
+    # refinement).  None = same as `dtype`.
+    factor_dtype: Any = None
+
+
+def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
+                        **overrides) -> "SolverConfig":
+    """The TPU production configuration: float64 iterate (residuals,
+    merit, step control — elementwise, cheap even emulated) with the
+    factorization's nz^3 matmuls in float32 on the MXU, recovered to
+    f64 accuracy by iterative refinement.  Converges like the f64
+    oracle at a fraction of its TPU cost (SURVEY.md §7 hard part 1)."""
+    kw = dict(
+        dtype=jnp.float64,
+        factor_dtype=jnp.float32,
+        residual_dtype=jnp.float64,
+        tol=jnp.asarray(tol),
+        delta_factor=jnp.asarray(1e-4),
+        refine_iters=4,
+        max_iter=max_iter,
+    )
+    kw.update(overrides)
+    return SolverConfig(**kw)
 
 
 def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
