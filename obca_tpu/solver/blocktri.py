@@ -85,20 +85,27 @@ def qd_inv(S, nw: int):
     S = [[A, B], [B', D]] with A (nw x nw) positive definite and D
     negative definite (the IPM guarantees this by regularization;
     Vanderbei 1995 guarantees stability of the fixed-order elimination).
+
+    Elimination order matters in low precision: the *primal* block A is
+    eliminated first.  A is unit-scaled after Ruiz equilibration, so
+    the dual Schur complement Sd = D - B' A^{-1} B has O(1) entries.
+    The reverse order (invert D first) forms A + B (-D)^{-1} B' ~
+    J'J / delta_factor on equality rows — condition ~1e8, which is what
+    broke the f32 factorization at small barrier mu in round 1.
     """
     A = S[..., :nw, :nw]
     B = S[..., :nw, nw:]
     D = S[..., nw:, nw:]
-    Dinv = -spd_inv(-D)
-    BD = B @ Dinv
-    Sc = A - BD @ jnp.swapaxes(B, -1, -2)             # SPD
-    Scinv = spd_inv(Sc)
-    X12 = -Scinv @ BD
-    X22 = Dinv + jnp.swapaxes(BD, -1, -2) @ Scinv @ BD
+    Ainv = spd_inv(A)
+    AB = Ainv @ B                                      # A^{-1} B
+    Sd = D - jnp.swapaxes(B, -1, -2) @ AB              # negative definite
+    Sdinv = -spd_inv(-Sd)
+    X12 = -AB @ Sdinv
+    X11 = Ainv - X12 @ jnp.swapaxes(AB, -1, -2)
     return jnp.concatenate(
         [
-            jnp.concatenate([Scinv, X12], axis=-1),
-            jnp.concatenate([jnp.swapaxes(X12, -1, -2), X22], axis=-1),
+            jnp.concatenate([X11, X12], axis=-1),
+            jnp.concatenate([jnp.swapaxes(X12, -1, -2), Sdinv], axis=-1),
         ],
         axis=-2,
     )
@@ -159,6 +166,50 @@ def matvec(K, E, x):
     out = out.at[:-1].add(jnp.einsum("kij,kj->ki", E, x[1:]))
     out = out.at[1:].add(jnp.einsum("kij,kj->ki", Et, x[:-1]))
     return out
+
+
+def solve_gcr(K, E, fac: BlockTriFactor, r, m: int = 8,
+              residual_dtype=None):
+    """Solve T x = r by GCR(m) (truncated Generalized Conjugate
+    Residual), right-preconditioned by the block-tridiagonal factor.
+
+    Richardson-style refinement (`solve_refined`) can stall on the
+    *indefinite* saddle-point KKT when the low-precision factor is a
+    poor preconditioner (observed: residual floor ~1e-1 at small
+    barrier mu in f32 — the round-1 TPU convergence failure).  GCR
+    minimizes ||r - T x|| over the full preconditioned Krylov space, so
+    the residual is monotone and the method cannot stall the way
+    damped Richardson does.  m is small and static (unrolled);
+    residual arithmetic runs in `residual_dtype` (f64 on the TPU
+    mixed path — elementwise + tiny matvecs, cheap even emulated),
+    preconditioner solves in the factor's dtype (the MXU path).
+
+    Returns (x in r.dtype, inf-norm of the final true residual).
+    """
+    rd = residual_dtype or r.dtype
+    fd = fac.Sinv.dtype
+    tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    Krd, Erd, rrd = K.astype(rd), E.astype(rd), r.astype(rd)
+    x = jnp.zeros_like(rrd)
+    res = rrd
+    ps, aps = [], []
+    for _ in range(m):
+        p = solve(fac, res.astype(fd)).astype(rd)
+        ap = matvec(Krd, Erd, p)
+        for pj, apj in zip(ps, aps):   # apj are orthonormal
+            beta = jnp.sum(ap * apj)
+            p = p - beta * pj
+            ap = ap - beta * apj
+        nrm = jnp.sqrt(jnp.sum(ap * ap))
+        inv = jnp.where(nrm > tiny, 1.0 / jnp.maximum(nrm, tiny), 0.0)
+        p = p * inv
+        ap = ap * inv
+        alpha = jnp.sum(res * ap)
+        x = x + alpha * p
+        res = res - alpha * ap
+        ps.append(p)
+        aps.append(ap)
+    return x.astype(r.dtype), jnp.max(jnp.abs(res))
 
 
 def solve_refined(K, E, fac: BlockTriFactor, r, iters: int = 1,

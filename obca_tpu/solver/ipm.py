@@ -54,6 +54,17 @@ class IpmState(NamedTuple):
     err: jax.Array        # [] scaled KKT error (mu = 0)
 
 
+class DualState(NamedTuple):
+    """Full inequality/bound dual state for warm re-solves (the analog
+    of Ipopt's warm_start_init_point=yes taking y/z from the caller —
+    MPC re-solves carry it shifted from the previous solution)."""
+
+    nu: jax.Array   # [N+1, nc]
+    s: jax.Array    # [N+1, nc]
+    zL: jax.Array   # [N+1, nw]
+    zU: jax.Array   # [N+1, nw]
+
+
 class SolveResult(NamedTuple):
     W: jax.Array
     nu: jax.Array
@@ -65,6 +76,7 @@ class SolveResult(NamedTuple):
     iters: jax.Array
     status: jax.Array
     mu: jax.Array
+    duals: DualState     # full dual state at the final iterate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +122,7 @@ def _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
 
 
 def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
+               duals0: DualState | None = None,
                debug: bool = False, prob=nlp):
     """Build (initial state, step function) for one OBCA instance.
 
@@ -146,12 +159,69 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
     mu0 = cfg.mu_init.astype(dt)
     c0 = prob.all_constraints(L, W0, spec)
-    s0 = jnp.where(in_row > 0, jnp.maximum(c0, 1e-2), 1.0)
-    nu0 = jnp.where(in_row > 0, -mu0 / s0, 0.0)
-    zL0 = jnp.where(has_lo[None, :] > 0,
-                    mu0 / jnp.maximum(W0 - lo[None, :], 1e-4), 0.0)
-    zU0 = jnp.where(has_hi[None, :] > 0,
-                    mu0 / jnp.maximum(hi[None, :] - W0, 1e-4), 0.0)
+    if duals0 is not None:
+        # Full dual warm start (MPC re-solves): trust the caller's
+        # (nu, s, zL, zU), with positivity/sign safeguards only.
+        nu0 = jnp.where(
+            in_row > 0, jnp.minimum(duals0.nu.astype(dt), -1e-12),
+            jnp.where(eq_row > 0, duals0.nu.astype(dt), 0.0),
+        )
+        s0 = jnp.where(in_row > 0,
+                       jnp.maximum(duals0.s.astype(dt), 1e-10), 1.0)
+        zL0 = jnp.where(has_lo[None, :] > 0,
+                        jnp.clip(duals0.zL.astype(dt), 1e-12, 1e12), 0.0)
+        zU0 = jnp.where(has_hi[None, :] > 0,
+                        jnp.clip(duals0.zU.astype(dt), 1e-12, 1e12), 0.0)
+    else:
+        s0 = jnp.where(in_row > 0, jnp.maximum(c0, 1e-2), 1.0)
+        # Inequality multipliers: barrier-consistent mu/s, but capped —
+        # a warm start violating some inequality (c ~ -2 at lattice-path
+        # steering cusps) would otherwise get y0 = mu/1e-2 = 10
+        # multiplied into O(20) dist-row Jacobian entries, a 200-sized
+        # initial dual residual that burns ~50 first-barrier iterations
+        # (round-1 failure mode).  The barrier solve restores exact
+        # complementarity quickly.
+        nu0 = jnp.where(in_row > 0, -jnp.minimum(mu0 / s0, 1.0), 0.0)
+        zL0 = jnp.where(has_lo[None, :] > 0,
+                        mu0 / jnp.maximum(W0 - lo[None, :], 1e-4), 0.0)
+        zU0 = jnp.where(has_hi[None, :] > 0,
+                        mu0 / jnp.maximum(hi[None, :] - W0, 1e-4), 0.0)
+
+    if duals0 is None and cfg.dual_init_ls:
+        # Ipopt-style least-squares initialization of the *equality*
+        # multipliers: with the inequality multipliers fixed at nu0,
+        # solve [[Hobj + I, Jeq'], [Jeq, -delta I]] [dw; nu_eq] =
+        # [-(grad_lag(W0, nu0_in) - zL0 + zU0); 0] once at the warm
+        # start and keep the nu block on equality rows.
+        gl0 = jax.grad(
+            lambda Wv: prob.total_lagrangian(L, Wv, nu0, spec, active)
+        )(W0)
+        sig_w0 = jnp.ones_like(W0)
+        # Only equality rows participate; inequality/inactive rows get
+        # sigma -1 and rhs 0 so their nu correction is 0.
+        sig_c0 = jnp.where(eq_row > 0, -1e-4, -1.0)
+        rhs_w0 = -(gl0 - zL0 + zU0)
+        rhs_c0 = jnp.zeros_like(nu0)
+        K0, E0, rhs0 = prob.assemble_kkt(
+            L, W0, jnp.zeros_like(nu0), sig_w0, sig_c0, rhs_w0, rhs_c0,
+            spec, active, jnp.zeros((), dt),
+        )
+        fd0 = cfg.factor_dtype or dt
+        reg0 = jnp.concatenate(
+            [jnp.full((L.nw,), cfg.delta_factor, dt),
+             jnp.full((L.nc,), -cfg.delta_factor, dt)]
+        )
+        fac0 = blocktri.factor(
+            (K0 + jnp.diag(reg0)[None]).astype(fd0),
+            E0.astype(fd0), nw=L.nw,
+        )
+        d0, _ = blocktri.solve_gcr(K0, E0, fac0, rhs0, m=4,
+                                   residual_dtype=cfg.residual_dtype)
+        nu_ls = d0[:, L.nw:]
+        # Guard (Ipopt's laminit trick): a wild LS estimate is worse
+        # than zero — fall back when the magnitude is implausible.
+        ok_ls = jnp.max(jnp.abs(nu_ls)) <= 1e3
+        nu0 = jnp.where(eq_row > 0, jnp.where(ok_ls, nu_ls, 0.0), nu0)
 
     state0 = IpmState(
         W=W0, nu=nu0, s=s0, zL=zL0, zU=zU0, mu=mu0,
@@ -256,10 +326,17 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
         # Factor a +-delta_factor-regularized copy (stable in fixed pivot
         # order without Bunch-Kaufman), then refine against the true
-        # (scaled) system.
-        df = jnp.maximum(cfg.delta_factor.astype(dt), state.delta_w)
+        # (scaled) system.  The *dual* block keeps a fixed -delta_factor:
+        # inertia correction (delta_w) belongs to the primal block only —
+        # scaling the dual perturbation with delta_w destroys the factor
+        # as a preconditioner exactly when regularization is high (the
+        # round-1 freeze spiral).
+        df = jnp.minimum(
+            jnp.maximum(cfg.delta_factor.astype(dt), state.delta_w), 1.0
+        )
         reg = jnp.concatenate(
-            [jnp.full((L.nw,), df, dt), jnp.full((L.nc,), -df, dt)]
+            [jnp.full((L.nw,), 1.0, dt) * df,
+             jnp.full((L.nc,), -1.0, dt) * cfg.delta_factor.astype(dt)]
         )
         # Mixed precision: the factorization (the FLOPs hot spot — all
         # nz^3 matmuls) may run in a narrower dtype than the iterate
@@ -269,13 +346,12 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         fd = cfg.factor_dtype or dt
         K_f = (K_s + jnp.diag(reg)[None, :, :]).astype(fd)
         fac = blocktri.factor(K_f, E_s.astype(fd), nw=L.nw)
-        d = blocktri.solve_refined(K_s, E_s, fac, rhs_s,
-                                   iters=cfg.refine_iters,
-                                   residual_dtype=cfg.residual_dtype)
+        d, lin_res = blocktri.solve_gcr(K_s, E_s, fac, rhs_s,
+                                        m=cfg.refine_iters,
+                                        residual_dtype=cfg.residual_dtype)
         # Step-quality gate: an occasional ill-conditioned system makes
         # the refined solve diverge; such garbage directions must never
         # be taken (they poison the iterate even at tiny step sizes).
-        lin_res = jnp.max(jnp.abs(blocktri.matvec(K_s, E_s, d) - rhs_s))
         good_solve = lin_res <= 0.1 * (1.0 + jnp.max(jnp.abs(rhs_s)))
         d = d * dsc
         dW = d[:, : L.nw]
@@ -365,9 +441,9 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         )
         # The factors belong to the Ruiz-scaled system: scale the SOC
         # RHS in, refine there, scale the direction back out.
-        d_soc = blocktri.solve_refined(K_s, E_s, fac, rhs_soc * dsc,
-                                       iters=1,
-                                       residual_dtype=cfg.residual_dtype)
+        d_soc, _ = blocktri.solve_gcr(K_s, E_s, fac, rhs_soc * dsc,
+                                      m=2,
+                                      residual_dtype=cfg.residual_dtype)
         d_soc = d_soc * dsc
         dW_soc = d_soc[:, : L.nw]
         dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
@@ -450,7 +526,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             jnp.maximum(cfg.delta_w.astype(dt), state.delta_w * 0.5),
             jnp.where(
                 crawl | ((~finite | ~good_solve) & ~conv),
-                jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e4),
+                jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e2),
                 state.delta_w,
             ),
         )
@@ -511,12 +587,21 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     return state0, step, L, final_check
 
 
-def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None, prob=nlp):
+def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None,
+                 duals0: DualState | None = None, prob=nlp):
     """Solve one OBCA instance.  All shapes static; call under jit/vmap."""
-    state0, step, L, final_check = _make_step(spec, cfg, W0, prob=prob)
+    state0, step, L, final_check = _make_step(spec, cfg, W0, duals0,
+                                              prob=prob)
 
-    final = jax.lax.fori_loop(0, cfg.max_iter,
-                              lambda _, s: step(s), state0)
+    # Convergence-gated iteration: under `vmap`, `while_loop` batches to
+    # "run until every lane is done" — a batch stops as soon as its
+    # slowest member converges instead of always burning `max_iter`
+    # iterations (the round-1 throughput failure: more than half the
+    # compute was discarded post-convergence).
+    final = jax.lax.while_loop(
+        lambda s: ~s.converged & (s.iters < cfg.max_iter),
+        step, state0,
+    )
     final = final_check(final)
 
     W = final.W
@@ -529,6 +614,8 @@ def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None, prob=nlp):
         X=W[:, L.sl_x], U=W[: L.N, L.sl_u], tau=W[0, L.i_tau],
         obj=prob.objective(L, W, spec),
         err=final.err, iters=final.iters, status=status, mu=final.mu,
+        duals=DualState(nu=final.nu, s=final.s, zL=final.zL,
+                        zU=final.zU),
     )
 
 

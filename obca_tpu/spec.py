@@ -131,7 +131,7 @@ class ProblemSpec:
 
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
-                      "residual_dtype", "factor_dtype"))
+                      "residual_dtype", "factor_dtype", "dual_init_ls"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -203,6 +203,10 @@ class SolverConfig:
     # the TPU fast path (MXU-speed factor, f64-accurate directions via
     # refinement).  None = same as `dtype`.
     factor_dtype: Any = None
+    # Least-squares initialization of the equality multipliers at the
+    # warm start (Ipopt's dual LS init): one extra factor+solve that
+    # typically saves tens of first-barrier iterations.
+    dual_init_ls: bool = True
 
 
 def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,

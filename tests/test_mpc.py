@@ -11,6 +11,8 @@ from obca_tpu.warmstart import geometric
 
 
 def _converged_plan(spec):
+    """Initial plan: (W, duals) — the full Ipopt-style warm start the
+    MPC driver carries between re-solves."""
     import jax as _jax
     from obca_tpu.solver import ipm as _ipm
 
@@ -19,7 +21,7 @@ def _converged_plan(spec):
         lambda sp: _ipm.solve_single(sp, SolverConfig(max_iter=200), W0)
     )(spec)
     assert int(res.status) == 0
-    return res.W
+    return res.W, res.duals
 
 
 def test_mpc_closed_loop_progresses():
@@ -27,11 +29,11 @@ def test_mpc_closed_loop_progresses():
     # Warm-started re-solves start from a small barrier (the previous
     # solution is near-optimal), converging in ~20 iterations.
     cfg = SolverConfig(max_iter=80, mu_init=jnp.asarray(1e-3))
-    W0 = _converged_plan(spec)
+    W0, duals0 = _converged_plan(spec)
     n_steps = 6
     res = jax.jit(
-        lambda sp, w: mpc.run(sp, cfg, n_steps, W0=w)
-    )(spec, W0)
+        lambda sp, w, d: mpc.run(sp, cfg, n_steps, W0=w, duals0=d)
+    )(spec, W0, duals0)
     status = np.asarray(res.status)
     # warm-started re-solves converge quickly
     assert np.all(status == 0)
@@ -46,10 +48,11 @@ def test_mpc_disturbance_rejection():
     """Small state disturbances are absorbed; solver stays converged."""
     spec = reverse_parking_spec(N=40, Ts=0.6)
     cfg = SolverConfig(max_iter=80, mu_init=jnp.asarray(1e-3))
-    W0 = _converged_plan(spec)
+    W0, duals0 = _converged_plan(spec)
     key = jax.random.PRNGKey(0)
     dist = 0.01 * jax.random.normal(key, (5, 4), dtype=jnp.float64)
     res = jax.jit(
-        lambda sp, w, d: mpc.run(sp, cfg, 5, W0=w, disturbance=d)
-    )(spec, W0, dist)
+        lambda sp, w, d, dd: mpc.run(sp, cfg, 5, W0=w, duals0=d,
+                                     disturbance=dd)
+    )(spec, W0, duals0, dist)
     assert np.all(np.asarray(res.status) == 0)
