@@ -4,8 +4,7 @@ TPU-native replacement for the reference's native solver surface
 (SURVEY.md §2.2 C9/C10): Ipopt (C++ primal-dual interior point) and
 MUMPS (sparse symmetric-indefinite LDL') become a batched, fixed-shape
 interior-point loop (`ipm`) over a block-tridiagonal quasidefinite KKT
-factorization (`blocktri`), with Pallas kernels for the hot paths in
-`solver.pallas`.
+factorization (`blocktri`).
 """
 
 from obca_tpu.solver import blocktri  # noqa: F401

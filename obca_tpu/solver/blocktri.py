@@ -30,10 +30,26 @@ Everything is per-scenario; batch via `jax.vmap` from the caller.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _full_precision(fn):
+    """Force true-f32 matmuls (TPU DEFAULT runs f32 contractions in
+    bfloat16 passes, which destroys the pivoting-free factorization —
+    observed round-1/2: 0/8 TPU convergence under DEFAULT, 8/8 under
+    HIGHEST).  Correctness-critical linear algebra must not depend on
+    the caller's global precision config."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class BlockTriFactor(NamedTuple):
@@ -42,6 +58,7 @@ class BlockTriFactor(NamedTuple):
     E: jax.Array     # [S-1, nz, nz] the off-diagonal blocks (for matvec)
 
 
+@_full_precision
 def spd_inv(A):
     """Explicit inverse of a symmetric positive-definite matrix via
     recursive 2x2 block Schur complements — pure matmuls, no LU/Cholesky
@@ -80,6 +97,7 @@ def spd_inv(A):
     )
 
 
+@_full_precision
 def qd_inv(S, nw: int):
     """Explicit inverse of a symmetric *quasidefinite* matrix
     S = [[A, B], [B', D]] with A (nw x nw) positive definite and D
@@ -111,6 +129,7 @@ def qd_inv(S, nw: int):
     )
 
 
+@_full_precision
 def factor(K, E, nw: int | None = None) -> BlockTriFactor:
     """Factor the block-tridiagonal matrix given diagonal blocks
     K [S, nz, nz] and upper off-diagonal blocks E [S-1, nz, nz].
@@ -134,6 +153,7 @@ def factor(K, E, nw: int | None = None) -> BlockTriFactor:
     return BlockTriFactor(Sinv=Sinv, W=W, E=E)
 
 
+@_full_precision
 def solve(fac: BlockTriFactor, r):
     """Solve T x = r for r [S, nz] given a factorization."""
     Sinv, W, E = fac
@@ -159,6 +179,7 @@ def solve(fac: BlockTriFactor, r):
     return jnp.concatenate([xs, xS[None]], axis=0)
 
 
+@_full_precision
 def matvec(K, E, x):
     """Block-tridiagonal matvec T x for x [S, nz]."""
     Et = jnp.swapaxes(E, -1, -2)
@@ -168,6 +189,7 @@ def matvec(K, E, x):
     return out
 
 
+@_full_precision
 def solve_gcr(K, E, fac: BlockTriFactor, r, m: int = 8,
               residual_dtype=None):
     """Solve T x = r by GCR(m) (truncated Generalized Conjugate
@@ -212,6 +234,7 @@ def solve_gcr(K, E, fac: BlockTriFactor, r, m: int = 8,
     return x.astype(r.dtype), jnp.max(jnp.abs(res))
 
 
+@_full_precision
 def solve_refined(K, E, fac: BlockTriFactor, r, iters: int = 1,
                   residual_dtype=None):
     """Solve with iterative refinement: the factorization may be in a

@@ -5,8 +5,10 @@ TPU-native equivalents of the reference's warm-start stack:
                     (the reference's `WarmStart.jl` role)
   * `dual_ws`     — dual-variable initialization (`DualMultWS.jl` role)
   * `velosmooth`  — accel-limited velocity profile (`veloSmooth.jl` role)
-  * `hybrid_astar` + `rs_path` + `grid_astar` — coarse kinematic path
-                    search (H-OBCA `hybrid_a_star.jl` lineage)
+  * `lattice` + `rs_path` — coarse kinematic path search: dense SE(2)
+                    lattice value iteration + branchless Reeds-Shepp
+                    (the TPU-first redesign of the H-OBCA
+                    `hybrid_a_star.jl` lineage)
 """
 
 from obca_tpu.warmstart import dual_ws, geometric  # noqa: F401

@@ -2,8 +2,9 @@
 
 TPU-native counterpart of the reference's `WarmStart.jl` (a no-obstacle
 OCP warm start — SURVEY.md §2.1 step 1 note): provides an initial
-(X, U, tau) guess when no Hybrid-A* path is supplied.  The full
-Hybrid-A* pipeline lives in `hybrid_astar.py`.
+(X, U, tau) guess; the collision-aware path stage lives in
+`lattice.py` (SE(2) value iteration) and is wired in by
+`lattice_warm_start`.
 """
 
 from __future__ import annotations
@@ -77,8 +78,8 @@ def rs_warm_start(spec, dtype=None, delta_frac=0.8, dual_eps=1e-2):
     """Full warm-start pipeline for parking problems: Reeds-Shepp path
     (C6b) + smooth velocity profile (C7) + geometric duals (C8) —
     the reference's Hybrid-A*-free `WarmStart.jl`-style path for
-    obstacle-light instances; `hybrid_astar` supersedes the path stage
-    when obstacles block the RS shot."""
+    obstacle-light instances; `lattice_warm_start` supersedes the path
+    stage when obstacles block the RS shot."""
     from obca_tpu.warmstart import velosmooth
 
     X, U = velosmooth.rs_time_sampled(spec, delta_frac=delta_frac)

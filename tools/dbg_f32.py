@@ -18,7 +18,8 @@ import numpy as np  # noqa: E402
 
 from obca_tpu.solver import ipm  # noqa: E402
 from obca_tpu.spec import (SolverConfig, f32_solver_config,  # noqa: E402
-                           mixed_solver_config, reverse_parking_spec)
+                           mixed_solver_config, parallel_parking_spec,
+                           reverse_parking_spec)
 from obca_tpu.warmstart import geometric  # noqa: E402
 
 
@@ -26,7 +27,15 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     which = sys.argv[2] if len(sys.argv) > 2 else "f32"
     n_iter = int(sys.argv[3]) if len(sys.argv) > 3 else 60
-    spec = reverse_parking_spec(N=N, Ts=24.0 / N)
+    scen = sys.argv[4] if len(sys.argv) > 4 else "reverse"
+    kw = {}
+    if "dist" in scen:
+        kw["signed"] = False
+    if "free" in scen:
+        kw["fix_time"] = False
+    make = (parallel_parking_spec if scen.startswith("parallel")
+            else reverse_parking_spec)
+    spec = make(N=N, Ts=24.0 / N, **kw)
     if which == "f32":
         cfg = f32_solver_config()
     elif which == "mixed":
