@@ -1,8 +1,9 @@
 """Benchmark: full OBCA parking solves/s on the local device.
 
-Runs the complete pipeline (lattice warm start + batched interior-point
-solve) for a batch of randomized reverse-parking instances on the
-default JAX device (the TPU under the driver), and prints ONE JSON line:
+Runs the complete pipeline (SE(2)-lattice warm start + batched
+interior-point solve, both on-device) for a batch of randomized
+reverse-parking instances at the canonical N=80 horizon, and prints ONE
+JSON line:
 
   {"metric": "parking_solves_per_s", "value": N, "unit": "solves/s",
    "vs_baseline": R}
@@ -10,6 +11,12 @@ default JAX device (the TPU under the driver), and prints ONE JSON line:
 Baseline: the reference pipeline (Hybrid A* + Ipopt) takes ~1 s per
 solve on a single CPU core (BASELINE.md — paper-era figure), so
 vs_baseline == solves/s.
+
+The planner field (`lattice.plan_field`) depends only on the scenario
+geometry, is computed once outside the timed region's per-scenario
+work, and is shared across the batch — but it IS recomputed inside
+every timed repetition, so the reported number covers the full
+pipeline including planning.
 """
 
 import dataclasses
@@ -20,7 +27,6 @@ import time
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/obca_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -32,20 +38,22 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    B = int(os.environ.get("BENCH_B", "16"))
-    N = int(os.environ.get("BENCH_N", "40"))
-    max_iter = int(os.environ.get("BENCH_ITERS", "150"))
-    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f32") == "f64" \
-        else jnp.float32
+    B = int(os.environ.get("BENCH_B", "128"))
+    N = int(os.environ.get("BENCH_N", "80"))
+    max_iter = int(os.environ.get("BENCH_ITERS", "120"))
+    dtype = jnp.float32
+    if os.environ.get("BENCH_DTYPE", "f32") == "f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
 
     from obca_tpu.solver import ipm
     from obca_tpu.spec import (SolverConfig, f32_solver_config,
                                reverse_parking_spec)
-    from obca_tpu.warmstart import geometric
+    from obca_tpu.warmstart import geometric, lattice
 
-    base = reverse_parking_spec(N=N, Ts=24.0 / N)
+    base = reverse_parking_spec(N=N, Ts=24.0 / N, dtype=dtype)
     rng = np.random.default_rng(0)
-    shifts = rng.uniform(-0.5, 0.5, size=(B, 2))
+    shifts = rng.uniform(-0.5, 0.5, size=(B, 2)).astype(np.float32)
     specs = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[dataclasses.replace(
@@ -58,13 +66,11 @@ def main():
     else:
         cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
 
-    from obca_tpu.warmstart import lattice
-
     @jax.jit
     def pipeline(specs, base):
         # The planner field depends only on (obstacles, goal): compute
-        # once, share across the batch (sweep scenarios randomize the
-        # start pose).
+        # once, share across the batch; each scenario extracts its own
+        # start-dependent path from it.
         field = lattice.plan_field(base)
 
         def one(sp):
@@ -94,7 +100,9 @@ def main():
         "detail": {
             "B": B, "N": N, "converged": n_conv,
             "batch_wall_s": round(dt_s, 3),
-            "dtype": str(dtype.__name__),
+            "iters_max": int(np.asarray(res.iters).max()),
+            "iters_med": int(np.median(np.asarray(res.iters))),
+            "dtype": str(np.dtype(dtype).name),
             "device": str(jax.devices()[0]),
         },
     }))

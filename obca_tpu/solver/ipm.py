@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from obca_tpu import nlp
-from obca_tpu.solver import blocktri
+from obca_tpu.solver import blocktri, kkt
+from obca_tpu.solver.blocktri import _full_precision
 from obca_tpu.spec import ProblemSpec, SolverConfig
 
 STATUS_CONVERGED = 0
@@ -121,6 +122,7 @@ def _merit(L, W, s, spec, cfg, mu, rho, eq_row, in_row, lo, hi,
     return jnp.where(good, phi, jnp.inf)
 
 
+@_full_precision
 def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
                duals0: DualState | None = None,
                debug: bool = False, prob=nlp):
@@ -206,22 +208,30 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             L, W0, jnp.zeros_like(nu0), sig_w0, sig_c0, rhs_w0, rhs_c0,
             spec, active, jnp.zeros((), dt),
         )
-        fd0 = cfg.factor_dtype or dt
         reg0 = jnp.concatenate(
             [jnp.full((L.nw,), cfg.delta_factor, dt),
              jnp.full((L.nc,), -cfg.delta_factor, dt)]
         )
-        fac0 = blocktri.factor(
-            (K0 + jnp.diag(reg0)[None]).astype(fd0),
-            E0.astype(fd0), nw=L.nw,
+        kkt_ls = kkt.make_kkt_solver(
+            L.nw, 4, cfg.factor_dtype or dt, cfg.residual_dtype or dt
         )
-        d0, _ = blocktri.solve_gcr(K0, E0, fac0, rhs0, m=4,
-                                   residual_dtype=cfg.residual_dtype)
+        d0, _ = kkt_ls(K0, E0, reg0, rhs0)
         nu_ls = d0[:, L.nw:]
-        # Guard (Ipopt's laminit trick): a wild LS estimate is worse
-        # than zero — fall back when the magnitude is implausible.
-        ok_ls = jnp.max(jnp.abs(nu_ls)) <= 1e3
-        nu0 = jnp.where(eq_row > 0, jnp.where(ok_ls, nu_ls, 0.0), nu0)
+        # Guard (Ipopt's laminit trick, strengthened): keep the LS
+        # estimate only if it actually improves the dual stationarity
+        # residual at W0 — a plausible-magnitude but wrong estimate
+        # (observed on parallel parking) poisons the whole solve.
+        nu_cand = jnp.where(eq_row > 0, nu_ls, nu0)
+        gl_ls = jax.grad(
+            lambda Wv: prob.total_lagrangian(L, Wv, nu_cand, spec,
+                                             active)
+        )(W0)
+        rw_base = jnp.max(jnp.abs(gl0 - zL0 + zU0))
+        rw_ls = jnp.max(jnp.abs(gl_ls - zL0 + zU0))
+        ok_ls = (jnp.max(jnp.abs(nu_ls)) <= 1e3) & (
+            rw_ls <= 0.5 * rw_base
+        )
+        nu0 = jnp.where(ok_ls, nu_cand, nu0)
 
     state0 = IpmState(
         W=W0, nu=nu0, s=s0, zL=zL0, zU=zU0, mu=mu0,
@@ -234,6 +244,14 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
     grad_lag = jax.grad(
         lambda W, nu: prob.total_lagrangian(L, W, nu, spec, active)
+    )
+
+    kkt_main = kkt.make_kkt_solver(
+        L.nw, cfg.refine_iters, cfg.factor_dtype or dt,
+        cfg.residual_dtype or dt,
+    )
+    kkt_soc = kkt.make_kkt_solver(
+        L.nw, 2, cfg.factor_dtype or dt, cfg.residual_dtype or dt,
     )
 
     def kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu):
@@ -264,6 +282,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         c = prob.all_constraints(L, W, spec)
         return kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu)
 
+    @_full_precision
     def step(state: IpmState) -> IpmState:
         W, nu, s, zL, zU, mu = (state.W, state.nu, state.s, state.zL,
                                 state.zU, state.mu)
@@ -341,14 +360,11 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # Mixed precision: the factorization (the FLOPs hot spot — all
         # nz^3 matmuls) may run in a narrower dtype than the iterate
         # (cfg.factor_dtype, e.g. f32 factor under an f64 iterate on
-        # TPU); refinement against the full-precision system recovers
-        # the accurate direction (SURVEY.md §7 hard part 1).
-        fd = cfg.factor_dtype or dt
-        K_f = (K_s + jnp.diag(reg)[None, :, :]).astype(fd)
-        fac = blocktri.factor(K_f, E_s.astype(fd), nw=L.nw)
-        d, lin_res = blocktri.solve_gcr(K_s, E_s, fac, rhs_s,
-                                        m=cfg.refine_iters,
-                                        residual_dtype=cfg.residual_dtype)
+        # TPU); GCR refinement against the full-precision system
+        # recovers the accurate direction (SURVEY.md §7 hard part 1).
+        # `kkt_main` dispatches to the XLA path per scenario or, under
+        # vmap on TPU, to the batch-in-lanes Pallas kernels.
+        d, lin_res = kkt_main(K_s, E_s, reg, rhs_s)
         # Step-quality gate: an occasional ill-conditioned system makes
         # the refined solve diverge; such garbage directions must never
         # be taken (they poison the iterate even at tiny step sizes).
@@ -440,10 +456,11 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             axis=-1,
         )
         # The factors belong to the Ruiz-scaled system: scale the SOC
-        # RHS in, refine there, scale the direction back out.
-        d_soc, _ = blocktri.solve_gcr(K_s, E_s, fac, rhs_soc * dsc,
-                                      m=2,
-                                      residual_dtype=cfg.residual_dtype)
+        # RHS in, refine there, scale the direction back out.  (The
+        # batched path re-factors — at 0.2 ms per 128-scenario factor
+        # that is cheaper than shipping factor arrays across the
+        # custom_vmap boundary.)
+        d_soc, _ = kkt_soc(K_s, E_s, reg, rhs_soc * dsc)
         d_soc = d_soc * dsc
         dW_soc = d_soc[:, : L.nw]
         dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
@@ -473,7 +490,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             jnp.clip(zL + a_z * dzL, 0.0, None),
             jnp.clip(zU + a_z * dzU, 0.0, None), mu,
         )
-        take_full = err_full <= 0.99 * err_mu
+        take_full = (err_full <= 0.99 * err_mu) & cfg.watchdog
 
         use_soc = take_soc & ~take_full
         alpha = jnp.where(take_full, a_pri, alpha)
@@ -515,8 +532,10 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         ratio = alpha / jnp.maximum(a_pri, 1e-12)
         # Boundary jam: the fraction-to-boundary cap itself is tiny —
         # the direction rams a bound (wrong curvature), regardless of
-        # how the merit test rates the capped step.
-        jam = a_pri < 1e-4
+        # how the merit test rates the capped step.  (Threshold 1e-2:
+        # at 1e-4 the solver can crawl for a hundred "healthy"
+        # full-but-microscopic steps without ever bumping delta_w.)
+        jam = a_pri < 3e-3
         healthy = take & ~jam & (take_full | use_soc | (ratio >= 0.24))
         crawl = take & ~take_full & ~use_soc & (
             (~found) | (ratio < 0.05) | jam
@@ -571,6 +590,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             return new_state, diag
         return new_state
 
+    @_full_precision
     def final_check(state: IpmState):
         """The in-step convergence test lags one iteration; re-test the
         final iterate."""
@@ -617,6 +637,27 @@ def solve_single(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         duals=DualState(nu=final.nu, s=final.s, zL=final.zL,
                         zU=final.zU),
     )
+
+
+def solve_free_time(spec: ProblemSpec, cfg: SolverConfig, W0=None,
+                    prob=nlp):
+    """Free-time solve (the reference's headline fixTime=0 mode,
+    `OBCA@upstream:ParkingSignedDist.jl` signature) by homotopy: solve
+    the fixed-time problem first, then the free-time problem warm-
+    started from its solution *and duals*.  A cold free-time solve
+    wanders (the global time-scaling column makes the first barrier
+    subproblems nearly singular along tau); the two-phase path
+    converges reliably (fixed ~40 + free ~32 iterations at N=80).
+
+    `spec` must have fix_time=False; returns the free-time result.
+    """
+    spec_fix = dataclasses.replace(spec, fix_time=True)
+    res_fix = solve_single(spec_fix, cfg, W0, prob=prob)
+    cfg_free = dataclasses.replace(
+        cfg, mu_init=jnp.minimum(cfg.mu_init, 1e-3).astype(cfg.dtype)
+    )
+    return solve_single(spec, cfg_free, res_fix.W,
+                        duals0=res_fix.duals, prob=prob)
 
 
 def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,

@@ -1,0 +1,155 @@
+"""KKT linear-system solver dispatch: XLA per-scenario vs Pallas batch.
+
+The IPM calls `solve` on one (Ruiz-scaled) block-tridiagonal system per
+scenario, under `jax.vmap`.  This module makes that call *batch-aware*
+via `jax.custom_batching.custom_vmap`:
+
+  * unbatched (oracle solves, tests, CPU): the XLA reference path —
+    `blocktri.factor` + `blocktri.solve_gcr`;
+  * batched on TPU: one transpose to the batch-in-lanes layout
+    [S, nz, nz, B] and the Pallas kernels (`solver.pallas`), with the
+    GCR orthogonalization running as fused XLA elementwise ops in the
+    kernel layout.  This replaces thousands of tiny sequential scan
+    steps per IPM iteration (the round-1 0.5 solves/s failure) with
+    two pipelined kernels.
+
+Both paths implement the same math; `tests/test_pallas_blocktri.py`
+asserts they agree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obca_tpu.solver import blocktri
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _gcr_batched(matvec, precond, rhs, m: int, rd):
+    """GCR(m) over a batch: vectors [S, nz, B], scalars [B] (lane-wise
+    scalar arithmetic — every scenario runs its own GCR in lockstep).
+    Mirrors blocktri.solve_gcr."""
+    tiny = jnp.asarray(np.finfo(np.dtype(rd)).tiny, rd)
+    rrd = rhs.astype(rd)
+    x = jnp.zeros_like(rrd)
+    res = rrd
+    ps, aps = [], []
+    for _ in range(m):
+        p = precond(res).astype(rd)
+        ap = matvec(p)
+        for pj, apj in zip(ps, aps):
+            beta = jnp.sum(ap * apj, axis=(0, 1), keepdims=True)
+            p = p - beta * pj
+            ap = ap - beta * apj
+        nrm = jnp.sqrt(jnp.sum(ap * ap, axis=(0, 1), keepdims=True))
+        inv = jnp.where(nrm > tiny, 1.0 / jnp.maximum(nrm, tiny), 0.0)
+        p = p * inv
+        ap = ap * inv
+        alpha = jnp.sum(res * ap, axis=(0, 1), keepdims=True)
+        x = x + alpha * p
+        res = res - alpha * ap
+        ps.append(p)
+        aps.append(ap)
+    return x, jnp.max(jnp.abs(res), axis=(0, 1))
+
+
+def _matvec_lanes(K, E, x):
+    """Block-tridiagonal matvec in kernel layout: K [S, nz, nz, B],
+    E [S-1, nz, nz, B], x [S, nz, B]."""
+    out = jnp.sum(K * x[:, None, :, :], axis=2)
+    out = out.at[:-1].add(jnp.sum(E * x[1:, None, :, :], axis=2))
+    out = out.at[1:].add(jnp.sum(E * x[:-1, :, None, :], axis=1))
+    return out
+
+
+def make_kkt_solver(nw: int, m: int, factor_dtype, residual_dtype,
+                    *, interpret: bool = False,
+                    force_pallas: bool | None = None):
+    """Build `solve(K, E, reg, rhs) -> (d, lin_res)`.
+
+    K/E: the true (Ruiz-scaled) system in the iterate dtype.
+    reg [nz]: the +/- factor regularization added to each diagonal
+    block before factoring (sign pattern included by the caller).
+    Returns the GCR solution against the *true* system and the inf-norm
+    of its final residual (the IPM's step-quality gate).
+    """
+    fd = factor_dtype
+    rd = residual_dtype
+
+    @jax.custom_batching.custom_vmap
+    def solve(K, E, reg, rhs):
+        K_f = (K + jnp.diag(reg)[None, :, :]).astype(fd)
+        fac = blocktri.factor(K_f, E.astype(fd), nw=nw)
+        return blocktri.solve_gcr(K, E, fac, rhs, m=m,
+                                  residual_dtype=rd)
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, K, E, reg, rhs):
+        B = axis_size
+        kb, eb, gb, rb = in_batched
+        if not kb:
+            K = jnp.broadcast_to(K[None], (B,) + K.shape)
+        if not eb:
+            E = jnp.broadcast_to(E[None], (B,) + E.shape)
+        if not gb:
+            reg = jnp.broadcast_to(reg[None], (B,) + reg.shape)
+        if not rb:
+            rhs = jnp.broadcast_to(rhs[None], (B,) + rhs.shape)
+
+        use_pallas = force_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if not use_pallas:
+            d, lin = jax.vmap(solve.fun)(K, E, reg, rhs)
+            return (d, lin), (True, True)
+
+        from obca_tpu.solver.pallas import blocktri_kernel as bk
+
+        S, nz = K.shape[1], K.shape[2]
+        nzp = _round_up(nz, 8)
+        Bp = _round_up(B, bk.LANES)
+        dt = K.dtype
+
+        with jax.default_matmul_precision("highest"):
+            Kt = jnp.transpose(K, (1, 2, 3, 0))
+            Et = jnp.transpose(E, (1, 2, 3, 0))
+            rt = jnp.transpose(rhs, (1, 2, 0))
+            regT = jnp.transpose(reg, (1, 0))          # [nz, B]
+            eye = jnp.eye(nz, dtype=dt)
+            Kt_f = Kt + eye[None, :, :, None] * regT[None, :, None, :]
+            Kt_p, Et_p, _ = bk.pad_system(
+                Kt_f.astype(fd), Et.astype(fd), [], nzp, Bp, nw=nw,
+            )
+            Sinv, W = bk.factor_batched(Kt_p, Et_p, nw,
+                                        interpret=interpret)
+
+            # True system (residual dtype) for GCR, padded identically
+            # but with the pad diag at -1 so residual rows vanish.
+            Kt_r, Et_r, _ = bk.pad_system(
+                Kt.astype(rd), Et.astype(rd),
+                [], nzp, Bp, nw=nw,
+            )
+
+            def precond(res):
+                return bk.solve_batched(Sinv, W, Et_p,
+                                        res.astype(fd),
+                                        interpret=interpret)
+
+            def matvec(x):
+                return _matvec_lanes(Kt_r, Et_r, x.astype(rd))
+
+            x, lin = _gcr_batched(matvec, precond,
+                                  jnp.pad(rt, ((0, 0), (0, nzp - nz),
+                                               (0, Bp - B))),
+                                  m, rd)
+        d = jnp.transpose(x[:, :nz, :B], (2, 0, 1)).astype(dt)
+        return (d, lin[:B].astype(dt)), (True, True)
+
+    return solve

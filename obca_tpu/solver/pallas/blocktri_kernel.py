@@ -1,0 +1,326 @@
+"""Batch-in-lanes Pallas kernels: block-tridiagonal quasidefinite
+factorization / solve over the OBCA horizon.
+
+TPU-native replacement for the reference's MUMPS LDL' factorization
+(SURVEY.md §2.2 C10), restructured for the hardware instead of ported:
+
+  * layout: every per-stage block matrix is stored [nz, nz, B] with the
+    *scenario batch* B = 128 in the minor (lane) dimension — each VPU
+    op processes all 128 scenarios of one (row, col) tile at once;
+  * the horizon is the Pallas *grid*: TPU grid steps execute in order,
+    so the Schur-complement recursion carries S_{k-1}^{-1} across grid
+    steps in a persistent VMEM scratch while BlockSpec pipelining
+    double-buffers the HBM streams of K_k / E_k automatically;
+  * the per-stage quasidefinite inverse is the same primal-first
+    Schur recursion as `blocktri.qd_inv` (matmul-free of LAPACK,
+    numerically identical), unrolled at trace time.
+
+The XLA `blocktri` module remains the reference implementation (CPU
+oracle, tests); these kernels are its TPU fast path, validated against
+it with `interpret=True` in the test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _i32(v):
+    """Index-map values must stay int32: under jax_enable_x64 plain
+    python-int map outputs promote to int64, which Mosaic cannot
+    legalize ('failed to legalize operation func.return')."""
+    return jnp.asarray(v, jnp.int32)
+
+
+_Z = np.int32(0)
+
+
+def _map4(k):
+    return (_i32(k), _Z, _Z, _Z)
+
+
+def _map3(k):
+    return (_i32(k), _Z, _Z)
+
+
+def _bmm(a, b):
+    """C[i, j, :] = sum_k a[i, k, :] * b[k, j, :] — batched small
+    matmul with the batch in lanes (VPU broadcast-FMA over k)."""
+    acc = a[:, 0:1, :] * b[0, :, :][None]
+    for k in range(1, a.shape[1]):
+        acc = acc + a[:, k:k + 1, :] * b[k, :, :][None]
+    return acc
+
+
+def _bmv(m, v):
+    """y[i, :] = sum_j m[i, j, :] * v[j, :] — batched matvec."""
+    return jnp.sum(m * v[None, :, :], axis=1)
+
+
+def _tp(m):
+    """Batched transpose [i, j, :] -> [j, i, :]."""
+    return jnp.swapaxes(m, 0, 1)
+
+
+def _spd_inv_b(A):
+    """Batched SPD inverse via the recursive 2x2 block Schur scheme
+    (mirrors blocktri.spd_inv, batch in lanes)."""
+    n = A.shape[0]
+    if n == 1:
+        return 1.0 / A
+    if n == 2:
+        a = A[0:1, 0:1, :]
+        b = A[0:1, 1:2, :]
+        d = A[1:2, 1:2, :]
+        det = a * d - b * b
+        top = jnp.concatenate([d, -b], axis=1)
+        bot = jnp.concatenate([-b, a], axis=1)
+        return jnp.concatenate([top, bot], axis=0) / det
+    k = n // 2
+    A11 = A[:k, :k, :]
+    A12 = A[:k, k:, :]
+    A22 = A[k:, k:, :]
+    I11 = _spd_inv_b(A11)
+    B12 = _bmm(I11, A12)
+    S = A22 - _bmm(_tp(A12), B12)
+    IS = _spd_inv_b(S)
+    off = -_bmm(B12, IS)
+    top = I11 + _bmm(_bmm(B12, IS), _tp(B12))
+    return jnp.concatenate(
+        [
+            jnp.concatenate([top, off], axis=1),
+            jnp.concatenate([_tp(off), IS], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def _qd_inv_b(S, nw: int):
+    """Batched quasidefinite inverse, primal block first (mirrors
+    blocktri.qd_inv — see its docstring for why this order is the
+    f32-stable one)."""
+    A = S[:nw, :nw, :]
+    B = S[:nw, nw:, :]
+    D = S[nw:, nw:, :]
+    Ainv = _spd_inv_b(A)
+    AB = _bmm(Ainv, B)
+    Sd = D - _bmm(_tp(B), AB)
+    Sdinv = -_spd_inv_b(-Sd)
+    X12 = -_bmm(AB, Sdinv)
+    X11 = Ainv - _bmm(X12, _tp(AB))
+    return jnp.concatenate(
+        [
+            jnp.concatenate([X11, X12], axis=1),
+            jnp.concatenate([_tp(X12), Sdinv], axis=1),
+        ],
+        axis=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Factorization kernel.
+# ---------------------------------------------------------------------------
+
+
+def _factor_kernel(nw, K_ref, E_ref, Sinv_ref, W_ref, sprev):
+    k = pl.program_id(0)
+    Kk = K_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        Sinv = _qd_inv_b(Kk, nw)
+        Sinv_ref[0] = Sinv
+        # W[0] is written (garbage) here and overwritten at k == 1 —
+        # the out buffer is only flushed on its last visit.
+        W_ref[0] = jnp.zeros_like(Kk)
+        sprev[...] = Sinv
+
+    @pl.when(k > 0)
+    def _():
+        Eprev = E_ref[0]
+        Wk = _bmm(sprev[...], Eprev)
+        Sk = Kk - _bmm(_tp(Eprev), Wk)
+        Sinv = _qd_inv_b(Sk, nw)
+        Sinv_ref[0] = Sinv
+        W_ref[0] = Wk
+        sprev[...] = Sinv
+
+
+def factor_batched(K, E, nw: int, *, interpret: bool = False):
+    """Factor a batch of block-tridiagonal quasidefinite systems.
+
+    Args:
+      K: [S, nz, nz, B] diagonal blocks (batch minor).
+      E: [S-1, nz, nz, B] upper off-diagonal blocks.
+      nw: size of the positive-definite primal sub-block.
+    Returns:
+      (Sinv [S, nz, nz, B], W [S-1, nz, nz, B]) with
+      W[k] = S_k^{-1} E_k (note: indexed by k, i.e. W_{k+1} in the
+      blocktri docstring's numbering).
+    """
+    S, nz, _, B = K.shape
+    dt = K.dtype
+    # E is indexed at k-1 inside the kernel; pad a dummy leading block
+    # so the BlockSpec index map stays in range at k == 0.
+    E_pad = jnp.concatenate([jnp.zeros((1, nz, nz, B), dt), E], axis=0)
+
+    grid = (S,)
+    out_shape = (
+        jax.ShapeDtypeStruct((S, nz, nz, B), dt),
+        jax.ShapeDtypeStruct((S, nz, nz, B), dt),
+    )
+    blk = (1, nz, nz, B)
+    Sinv, W_full = pl.pallas_call(
+        functools.partial(_factor_kernel, nw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
+            # W_k lands at slot k-1 (slot 0 is visited at k=0 and k=1;
+            # flushed after its last visit, so k=1's value wins).
+            pl.BlockSpec(blk,
+                         lambda k: (_i32(jnp.maximum(k - 1, 0)),
+                                    _Z, _Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nz, nz, B), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(K, E_pad)
+    return Sinv, W_full[: S - 1]
+
+
+# ---------------------------------------------------------------------------
+# Solve kernels (forward substitution + backward substitution).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(E_ref, Sinv_ref, r_ref, y_ref, ycarry):
+    k = pl.program_id(0)
+    rk = r_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        y = _bmv(Sinv_ref[0], rk)
+        y_ref[0] = y
+        ycarry[...] = y
+
+    @pl.when(k > 0)
+    def _():
+        yhat = rk - _bmv(_tp(E_ref[0]), ycarry[...])
+        y = _bmv(Sinv_ref[0], yhat)
+        y_ref[0] = y
+        ycarry[...] = y
+
+
+def _bwd_kernel(W_ref, y_ref, x_ref, xcarry, *, S):
+    k = pl.program_id(0)   # walks 0..S-1; stage = S-1-k
+
+    @pl.when(k == 0)
+    def _():
+        x = y_ref[0]
+        x_ref[0] = x
+        xcarry[...] = x
+
+    @pl.when(k > 0)
+    def _():
+        x = y_ref[0] - _bmv(W_ref[0], xcarry[...])
+        x_ref[0] = x
+        xcarry[...] = x
+
+
+def solve_batched(Sinv, W, E, r, *, interpret: bool = False):
+    """Solve T x = r for a batch given `factor_batched` output.
+
+    r: [S, nz, B] -> x [S, nz, B].
+    """
+    S, nz, _, B = Sinv.shape
+    dt = Sinv.dtype
+    r = r.astype(dt)
+    E_pad = jnp.concatenate([jnp.zeros((1, nz, nz, B), dt), E], axis=0)
+
+    mblk = (1, nz, nz, B)
+    vblk = (1, nz, B)
+    y = pl.pallas_call(
+        _fwd_kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(mblk, _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(mblk, _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(vblk, _map3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vblk, _map3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nz, B), dt),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt)],
+        interpret=interpret,
+    )(E_pad, Sinv, r)
+
+    # Backward pass: walk stages S-1 .. 0.  W[k] multiplies x_{k+1}
+    # when solving for stage k, i.e. at grid step g (stage S-1-g) we
+    # need W[S-1-g]; pad W with a dummy tail block so g=0 stays in
+    # range.
+    W_pad = jnp.concatenate([W, jnp.zeros((1, nz, nz, B), dt)], axis=0)
+    x = pl.pallas_call(
+        functools.partial(_bwd_kernel, S=S),
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(mblk,
+                         lambda k: (_i32(S - 1 - k), _Z, _Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vblk, lambda k: (_i32(S - 1 - k), _Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vblk,
+                               lambda k: (_i32(S - 1 - k), _Z, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nz, B), dt),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt)],
+        interpret=interpret,
+    )(W_pad, y)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Padding helpers (nz to sublane multiples, B to lane multiples).
+# ---------------------------------------------------------------------------
+
+
+def pad_system(K, E, rhs_list, nz_pad: int, B_pad: int, nw: int = 0):
+    """Pad [.., nz, nz, B] blocks to (nz_pad, B_pad).  Padded diagonal
+    entries are set to -1 (appended at the dual end: the padded system
+    stays quasidefinite with the same nw) and padded rhs rows to 0, so
+    padded solution entries are exactly 0.  Padded *lanes* get the
+    (+1 on the first nw rows, -1 after) quasidefinite identity so the
+    factorization stays finite there (their solutions are discarded)."""
+    S, nz, _, B = K.shape
+    dz, db = nz_pad - nz, B_pad - B
+    if dz == 0 and db == 0:
+        return K, E, rhs_list
+    K = jnp.pad(K, ((0, 0), (0, dz), (0, dz), (0, db)))
+    idx = np.arange(nz, nz_pad)
+    if dz:
+        K = K.at[:, idx, idx, :].set(-1.0)
+    if db:
+        ii = np.arange(nz_pad)
+        dvals = jnp.where(jnp.arange(nz_pad) < nw, 1.0, -1.0).astype(
+            K.dtype
+        )
+        K = K.at[:, ii, ii, B:].set(dvals[None, :, None])
+    E = jnp.pad(E, ((0, 0), (0, dz), (0, dz), (0, db)))
+    rhs_list = [jnp.pad(r, ((0, 0), (0, dz), (0, db))) for r in rhs_list]
+    return K, E, rhs_list

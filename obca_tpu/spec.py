@@ -131,7 +131,8 @@ class ProblemSpec:
 
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
-                      "residual_dtype", "factor_dtype", "dual_init_ls"))
+                      "residual_dtype", "factor_dtype", "dual_init_ls",
+                      "watchdog"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -207,6 +208,10 @@ class SolverConfig:
     # warm start (Ipopt's dual LS init): one extra factor+solve that
     # typically saves tens of first-barrier iterations.
     dual_init_ls: bool = True
+    # Accept the full fraction-to-boundary step whenever it strictly
+    # reduces the KKT error, bypassing the merit test (a cheap watchdog;
+    # see ipm.step).
+    watchdog: bool = True
 
 
 def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
@@ -233,13 +238,14 @@ def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
                       **overrides) -> "SolverConfig":
     """Tuned single-precision solver configuration (the TPU fast path):
     heavier factor regularization (the pivoting-free Schur chain
-    amplifies f32 roundoff), more refinement steps, f64 refinement
-    residuals, and a barrier floor matched to f32 conditioning."""
+    amplifies f32 roundoff), more GCR steps, and a barrier floor
+    matched to f32 conditioning.  Pure f32 end to end — no emulated
+    f64 anywhere on the chip."""
     kw = dict(
         dtype=jnp.float32,
-        residual_dtype=jnp.float64,
+        residual_dtype=jnp.float32,
         tol=jnp.asarray(tol),
-        mu_min=jnp.asarray(3e-6),
+        mu_min=jnp.asarray(1e-6),
         delta_w=jnp.asarray(1e-7),
         delta_c=jnp.asarray(1e-7),
         delta_factor=jnp.asarray(1e-4),
@@ -377,18 +383,25 @@ def parallel_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
     """
     obs = obstacles_from_vertices(
         [
-            [(-15.0, 5.0), (-3.5, 5.0), (-3.5, 0.0), (-15.0, 0.0)],
-            [(3.5, 5.0), (15.0, 5.0), (15.0, 0.0), (3.5, 0.0)],
+            [(-15.0, 5.0), (-4.0, 5.0), (-4.0, 0.0), (-15.0, 0.0)],
+            [(4.0, 5.0), (15.0, 5.0), (15.0, 0.0), (4.0, 0.0)],
             [(-15.0, 2.5), (15.0, 2.5), (15.0, 0.0), (-15.0, 0.0)],
         ],
         max_obs=max_obs, max_faces=max_faces, dtype=dtype,
     )
-    # Slot between the two blocks (x in [-3.5, 3.5], the paper-era 7 m
-    # slot); the third obstacle is the curb spanning the full street at
-    # y <= 2.5, so the parked car sits just above it (ego spans
-    # y in [2.6, 4.6] at xF, centred in the slot).
+    # Slot between the two blocks (x in [-4, 4]: an 8 m slot for the
+    # 4.7 m car — 1.65 m margin per side, so a d_min-clearing swing
+    # exists; the exact reference constants are unrecoverable, see
+    # SURVEY.md §0); the third obstacle is the curb spanning the full
+    # street at y <= 2.5, so the parked car sits just above it (ego
+    # spans y in [2.6, 4.6] at xF, centred in the slot).
+    # Parked 0.2 m off the curb (ego bottom 2.7 vs curb 2.5): a full-
+    # lock exit swing dips the rear inner corner ~0.095 m below the
+    # parked clearance, so a 0.1 m gap would force the escape corridor
+    # through < d_min clearance (geometrically unavoidable, not a
+    # solver artifact).
     x0 = [-7.0, 7.0, 0.0, 0.0]
-    xF = [-1.35, 3.6, 0.0, 0.0]
+    xF = [-1.35, 3.7, 0.0, 0.0]
     return _base_spec(
         x0, xF, obs, N=N, Ts=Ts, xy_lo=[-12.0, 2.6], xy_hi=[12.0, 10.0],
         d_min=d_min, fix_time=fix_time, signed=signed, dtype=dtype,

@@ -204,9 +204,14 @@ def staging_goal(spec: ProblemSpec, cfg: LatticeConfig, occ, to_cell,
             p = jnp.concatenate([p3, jnp.zeros((1,), dt)])
             gaps = geometry.ego_clearance_exact(p, spec.ego_g,
                                                 spec.obstacles)
-            # goal-adjacent poses may sit at exactly d_min clearance;
-            # require the margin only away from the goal.
-            need = 0.0
+            # Goal-adjacent poses may sit at exactly d_min clearance;
+            # ramp the required margin up over the first metre of the
+            # escape so the corridor away from the goal keeps the full
+            # d_min + margin.  (A zero requirement here let parallel-
+            # parking warm starts *touch* the curb mid-swing, wedging
+            # the NLP at 45 mm clearance against d_min = 50 mm.)
+            ramp = jnp.clip(f * total / 1.0, 0.0, 1.0)
+            need = ramp * (spec.d_min + cfg.clearance)
             return jnp.min(gaps) >= need
 
         corridor_ok = jnp.all(jax.vmap(sub_ok)(frac))

@@ -24,13 +24,22 @@ import numpy as np  # noqa: E402
 
 
 def scenarios():
-    from obca_tpu.spec import reverse_parking_spec
+    from obca_tpu.spec import parallel_parking_spec, reverse_parking_spec
 
     yield "reverse_parking_N40", reverse_parking_spec(N=40, Ts=0.6)
     yield "reverse_parking_dist_N40", reverse_parking_spec(
         N=40, Ts=0.6, signed=False
     )
     yield "reverse_parking_N80", reverse_parking_spec(N=80, Ts=0.3)
+    yield "reverse_parking_dist_N80", reverse_parking_spec(
+        N=80, Ts=0.3, signed=False
+    )
+    yield "parallel_parking_N80", parallel_parking_spec(N=80, Ts=0.3)
+    # The reference's headline free-time mode (fixTime=0): solved by the
+    # fixed-then-free homotopy (ipm.solve_free_time).
+    yield "reverse_parking_freetime_N80", reverse_parking_spec(
+        N=80, Ts=0.3, fix_time=False
+    )
 
 
 def main():
@@ -46,7 +55,12 @@ def main():
 
     for name, spec in scenarios():
         W0 = geometric.lattice_warm_start(spec)
-        res = jax.jit(lambda sp: ipm.solve_single(sp, cfg, W0))(spec)
+        if spec.fix_time:
+            res = jax.jit(lambda sp: ipm.solve_single(sp, cfg, W0))(spec)
+        else:
+            res = jax.jit(
+                lambda sp: ipm.solve_free_time(sp, cfg, W0)
+            )(spec)
         status = int(res.status)
         print(f"{name}: status={status} iters={int(res.iters)} "
               f"err={float(res.err):.2e} obj={float(res.obj):.6f}")
@@ -66,6 +80,8 @@ def main():
             ego_g=np.asarray(spec.ego_g),
             d_min=float(spec.d_min),
             signed=int(spec.signed),
+            fix_time=int(spec.fix_time),
+            tau=float(res.tau),
             W0=np.asarray(W0),
         )
         print(f"  wrote {name}.npz")
