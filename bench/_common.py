@@ -42,7 +42,8 @@ def scenario_batch(base, B: int, seed: int = 0, spread: float = 0.5):
     """Stack B randomized instances of a base spec (perturbed start
     pose) — the sweep workload (BASELINE config 4)."""
     rng = np.random.default_rng(seed)
-    shifts = rng.uniform(-spread, spread, size=(B, 2))
+    dt = np.dtype(base.x0.dtype)
+    shifts = rng.uniform(-spread, spread, size=(B, 2)).astype(dt)
     return jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[dataclasses.replace(

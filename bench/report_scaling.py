@@ -1,0 +1,127 @@
+"""Scaling-efficiency report: solves/s vs device count
+(BASELINE.json:5 — "1 chip, 1 host, >=2 hosts").
+
+Runs the full pipeline on meshes of 1..n_local devices (scenario-
+parallel DP) and reports throughput + efficiency per row.  On a
+multi-host job (launched with obca_tpu.parallel.distributed.initialize
+on every process) the "global" row covers all hosts; single-host runs
+emit it as the local result so the >=2-host rows are fill-in-the-blank
+when pod hardware exists.
+
+Usage: python bench/report_scaling.py [--per-device B] [--n N]
+Writes bench/out/scaling.json and prints one JSON line per row.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/obca_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=128,
+                    help="scenarios per device")
+    ap.add_argument("--n", type=int, default=80)
+    ap.add_argument("--max-iter", type=int, default=120)
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize (multi-host)")
+    args = ap.parse_args()
+
+    if args.distributed:
+        from obca_tpu.parallel import distributed
+
+        distributed.initialize()
+
+    from obca_tpu.parallel import mesh as mesh_mod
+    from obca_tpu.solver import ipm
+    from obca_tpu.spec import f32_solver_config, reverse_parking_spec
+    from obca_tpu.warmstart import geometric, lattice
+
+    dtype = jnp.float32
+    base = reverse_parking_spec(N=args.n, Ts=24.0 / args.n, dtype=dtype)
+    cfg = f32_solver_config(max_iter=args.max_iter)
+
+    def make_specs(B):
+        rng = np.random.default_rng(0)
+        shifts = rng.uniform(-0.5, 0.5, size=(B, 2)).astype(np.float32)
+        return jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[dataclasses.replace(
+                base, x0=base.x0.at[0].add(dx).at[1].add(dy))
+              for dx, dy in shifts],
+        )
+
+    def pipeline(specs):
+        field = lattice.plan_field(base)
+
+        def one(sp):
+            W0 = geometric.lattice_warm_start(sp, dtype=dtype,
+                                              field=field)
+            return ipm.solve_single(sp, cfg, W0)
+
+        return jax.vmap(one)(specs)
+
+    rows = []
+    device_counts = sorted({1, max(1, jax.local_device_count()),
+                            jax.device_count()})
+    base_rate = None
+    for nd in device_counts:
+        if nd > jax.device_count():
+            continue
+        B = args.per_device * nd
+        specs = make_specs(B)
+        mesh = mesh_mod.scenario_mesh(jax.devices()[:nd])
+        run = lambda s: mesh_mod.solve_sharded_fn(pipeline, s, mesh)
+        res, metrics = run(specs)           # compile + run
+        jax.block_until_ready(res.U)
+        t0 = time.perf_counter()
+        res, metrics = run(specs)
+        jax.block_until_ready(res.U)
+        dt = time.perf_counter() - t0
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate / nd
+        row = {
+            "devices": nd,
+            "hosts": jax.process_count(),
+            "B": B,
+            "solves_per_s": round(rate, 2),
+            "efficiency": round(rate / (base_rate * nd), 3),
+            "converged": int(metrics["n_converged"]),
+            "wall_s": round(dt, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "out")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "scaling.json"), "w") as f:
+        json.dump({
+            "metric": "scaling_report",
+            "N": args.n,
+            "dtype": "float32",
+            "device": str(jax.devices()[0]),
+            "rows": rows,
+            "note": ("single-host measurement; >=2-host rows require "
+                     "pod hardware — run with --distributed on every "
+                     "process"),
+        }, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

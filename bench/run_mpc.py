@@ -22,24 +22,33 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--N", type=int, default=40)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
-                    default="mixed")
+                    default="f32")
     ap.add_argument("--max-iter", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from obca_tpu import mpc
     from obca_tpu.spec import reverse_parking_spec
+    from obca_tpu.warmstart import geometric, lattice
 
-    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N)
     cfg = _common.solver_config(args.config, args.max_iter)
+    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N,
+                                dtype=cfg.dtype)
     specs = _common.scenario_batch(base, args.rollouts, seed=args.seed,
                                    spread=0.3)
 
     @jax.jit
     def fleet(specs):
-        return jax.vmap(
-            lambda sp: mpc.run(sp, cfg, args.steps)
-        )(specs)
+        # One planner field for the fleet (start-independent); each
+        # rollout extracts its own initial path from it.
+        field = lattice.plan_field(base)
+
+        def one(sp):
+            W0 = geometric.lattice_warm_start(sp, dtype=cfg.dtype,
+                                              field=field)
+            return mpc.run(sp, cfg, args.steps, W0=W0)
+
+        return jax.vmap(one)(specs)
 
     res = jax.block_until_ready(fleet(specs))   # compile + warmup
     t0 = time.perf_counter()

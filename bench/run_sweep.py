@@ -23,10 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--shard-size", type=int, default=256)
-    ap.add_argument("--N", type=int, default=40)
+    ap.add_argument("--N", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
-                    default="mixed")
+                    default="f32")
     ap.add_argument("--max-iter", type=int, default=150)
     ap.add_argument("--out", default="/tmp/obca_sweep")
     args = ap.parse_args()
@@ -39,8 +39,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     log = _common.jsonl_writer(os.path.join(args.out, "metrics.jsonl"))
 
-    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N)
     cfg = _common.solver_config(args.config, args.max_iter)
+    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N,
+                                dtype=cfg.dtype)
     mesh = mesh_mod.scenario_mesh()
     n_dev = len(mesh.devices.ravel())
     shard_size = max(args.shard_size // n_dev * n_dev, n_dev)

@@ -333,7 +333,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # 1/sqrt(row_inf_norm), factor the well-scaled system, unscale.
         K_s, E_s = K, E
         dsc = jnp.ones_like(rhs)
-        for _ in range(3):
+        for _ in range(cfg.ruiz_iters):
             rn = jnp.max(jnp.abs(K_s), axis=-1)
             rn = rn.at[:-1].max(jnp.max(jnp.abs(E_s), axis=-1))
             rn = rn.at[1:].max(jnp.max(jnp.abs(E_s), axis=-2))
@@ -460,11 +460,15 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # batched path re-factors — at 0.2 ms per 128-scenario factor
         # that is cheaper than shipping factor arrays across the
         # custom_vmap boundary.)
-        d_soc, _ = kkt_soc(K_s, E_s, reg, rhs_soc * dsc)
-        d_soc = d_soc * dsc
-        dW_soc = d_soc[:, : L.nw]
-        dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
-        ds_soc = jnp.where(in_row > 0, -(s / y) * dy_soc, 0.0)
+        if cfg.soc:
+            d_soc, _ = kkt_soc(K_s, E_s, reg, rhs_soc * dsc)
+            d_soc = d_soc * dsc
+            dW_soc = d_soc[:, : L.nw]
+            dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
+            ds_soc = jnp.where(in_row > 0, -(s / y) * dy_soc, 0.0)
+        else:
+            dW_soc = jnp.zeros_like(W)
+            ds_soc = jnp.zeros_like(s)
         # Keep the corrected point strictly feasible for bounds/slacks.
         W_soc = W_full + dW_soc
         s_soc = jnp.where(in_row > 0, s_full + ds_soc, 1.0)
@@ -479,7 +483,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
                          in_row, lo, hi, has_lo, has_hi, prob)
         take_soc = soc_ok & (phi_soc <= phi0 - 1e-8 * jnp.abs(phi0)) & (
             alpha < a_pri
-        )
+        ) & cfg.soc
 
         # Watchdog: if the full fraction-to-boundary step strictly
         # reduces the KKT error, take it regardless of the merit test.

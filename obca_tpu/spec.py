@@ -132,7 +132,7 @@ class ProblemSpec:
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
                       "residual_dtype", "factor_dtype", "dual_init_ls",
-                      "watchdog"))
+                      "watchdog", "ruiz_iters", "soc"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -212,6 +212,10 @@ class SolverConfig:
     # reduces the KKT error, bypassing the merit test (a cheap watchdog;
     # see ipm.step).
     watchdog: bool = True
+    # Ruiz equilibration sweeps on the KKT before factoring.
+    ruiz_iters: int = 3
+    # Second-order (Maratos) correction solve per iteration.
+    soc: bool = True
 
 
 def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
