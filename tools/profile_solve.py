@@ -68,8 +68,8 @@ def main():
         "gcr2": dict(refine_iters=2),
         "merit2": dict(ls_steps=2),
         "ruiz0": dict(ruiz_iters=0),
-        "nosoc": dict(soc=False),
-        "nolsinit": dict(dual_init_ls=False),
+        "soc": dict(soc=True),
+        "nowd": dict(watchdog=False),
     }
 
     def run(cfgkw):
@@ -101,7 +101,8 @@ def main():
     out["ms_gcr8"] = round(per_it(times["base"] - times["gcr2"]), 3)
     out["ms_merit10"] = round(per_it(times["base"] - times["merit2"]), 3)
     out["ms_ruiz3"] = round(per_it(times["base"] - times["ruiz0"]), 3)
-    out["ms_soc"] = round(per_it(times["base"] - times["nosoc"]), 3)
+    out["ms_soc"] = round(per_it(times["soc"] - times["base"]), 3)
+    out["ms_watchdog"] = round(per_it(times["base"] - times["nowd"]), 3)
 
     # Roofline: the factor kernel streams K in and Sinv + W out
     # (3 * S*nz^2*B f32 words) per call; the solve kernel streams
