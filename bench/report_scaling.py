@@ -85,14 +85,20 @@ def main():
         B = args.per_device * nd
         specs = make_specs(B)
         mesh = mesh_mod.scenario_mesh(jax.devices()[:nd])
-        run = lambda s: mesh_mod.solve_sharded_fn(pipeline, s, mesh)
+        # Jit once per device count; time only repeat executions of the
+        # cached callable (ADVICE r2: re-tracing inside the timed region
+        # understated throughput).
+        run = mesh_mod.make_sharded_solver(pipeline, mesh)
         res, metrics = run(specs)           # compile + run
         jax.block_until_ready(res.U)
+        reps = 3
         t0 = time.perf_counter()
-        res, metrics = run(specs)
-        jax.block_until_ready(res.U)
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            res, metrics = run(specs)
+            jax.block_until_ready(res.U)
+        dt = (time.perf_counter() - t0) / reps
         rate = B / dt
+        n_conv = int(metrics["n_converged"])
         if base_rate is None:
             base_rate = rate / nd
         row = {
@@ -100,8 +106,9 @@ def main():
             "hosts": jax.process_count(),
             "B": B,
             "solves_per_s": round(rate, 2),
+            "converged_solves_per_s": round(n_conv / dt, 2),
             "efficiency": round(rate / (base_rate * nd), 3),
-            "converged": int(metrics["n_converged"]),
+            "converged": n_conv,
             "wall_s": round(dt, 3),
         }
         rows.append(row)

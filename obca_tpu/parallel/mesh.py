@@ -63,14 +63,15 @@ def solve_sharded(specs: ProblemSpec, cfg: SolverConfig, mesh: Mesh,
     return run(specs, W0)
 
 
-def solve_sharded_fn(pipeline, specs, mesh: Mesh):
-    """Shard an arbitrary batched solve pipeline (e.g. warm start +
-    solve) over the mesh's scenario axis.  `pipeline(specs_batch)` must
-    return a SolveResult batch; metrics are psum-reduced as in
-    :func:`solve_sharded`."""
+def make_sharded_solver(pipeline, mesh: Mesh):
+    """Build a *cached* jitted sharded runner for an arbitrary batched
+    solve pipeline.  Returns ``run(specs) -> (SolveResult, metrics)``;
+    call it repeatedly (e.g. timed benchmark reps) without re-tracing —
+    the jit closure is created once per (pipeline, mesh), which is what
+    scaling measurements must time (ADVICE r2: re-jitting per call put
+    Python tracing inside the timed region)."""
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
-    specs = jax.device_put(specs, shard)
 
     @jax.jit
     def run(specs):
@@ -84,7 +85,16 @@ def solve_sharded_fn(pipeline, specs, mesh: Mesh):
         }
         return res, metrics
 
-    return run(specs)
+    def runner(specs):
+        return run(jax.device_put(specs, shard))
+
+    return runner
+
+
+def solve_sharded_fn(pipeline, specs, mesh: Mesh):
+    """One-shot convenience wrapper over :func:`make_sharded_solver`.
+    For repeated/timed calls build the runner once instead."""
+    return make_sharded_solver(pipeline, mesh)(specs)
 
 
 def dryrun_step(specs: ProblemSpec, cfg: SolverConfig, mesh: Mesh):

@@ -1,0 +1,184 @@
+"""Block cyclic reduction (BCR) of the block-tridiagonal KKT system —
+the long-horizon parallel factorization (SURVEY.md §5 'Long-context /
+sequence parallelism'; §2.2 parallelism table SP/CP row).
+
+`blocktri.factor` (and its Pallas twin) eliminates stages *sequentially*
+— O(S) depth.  That is the right choice at the canonical N=80 with the
+scenario batch in the vector lanes: the recursion pipelines across the
+batch and the MXU stays busy.  For very long horizons (the analog of
+long-context sequence parallelism) the sequential depth dominates, and
+the idiomatic TPU answer is parallel-in-time elimination: cyclic
+reduction eliminates every *odd* stage simultaneously (one batched
+matmul over S/2 stages), halving the system per level — O(log2 S) depth
+at ~2x the sequential FLOPs, with every level a large batched matmul
+(MXU-shaped, XLA-fusable, vmappable over scenarios).
+
+Quasidefiniteness is preserved level to level: eliminating a stage is a
+symmetric Schur complement w.r.t. a quasidefinite principal block, and
+Schur complements of symmetric quasidefinite matrices are quasidefinite
+with the inherited sign pattern (Vanderbei 1995) — so the same
+primal-first `qd_inv` applies at every level, in fixed pivot order,
+without Bunch-Kaufman.  Padding stages are decoupled (E = 0) identity
+quasidefinite blocks, so solutions on real stages are unaffected.
+
+Level update, eliminating odd stage j = 2k+1 (E_i couples (i, i+1)):
+
+    K'_k      = K_{2k}   - E_{2k}   K_{2k+1}^{-1} E_{2k}'
+                         - E_{2k-1}' K_{2k-1}^{-1} E_{2k-1}   (from j-1)
+    E'_k      = - E_{2k+1}... (odd-inverse bridge, see `_reduce`)
+    r'_k      = r_{2k} - E_{2k} K_{2k+1}^{-1} r_{2k+1}
+                       - E_{2k-1}' K_{2k-1}^{-1} r_{2k-1}
+
+Back-substitution per level:  x_{2k+1} = K_{2k+1}^{-1} (r_{2k+1}
+    - E_{2k}' x_{2k} - E_{2k+1} x_{2k+2}).
+
+Reference surface: the same MUMPS-backed KKT solve as `blocktri`
+(SURVEY.md §2.2 C10); the parallel-multistage-KKT literature retrieved
+for this project (PAPERS.md — PIQP parallel KKT, Cyqlone) motivates the
+mechanism.  Measured crossover vs the sequential scan is reported by
+``tools/bench_cyclic.py`` (long horizons only — see its output; N=80
+stays on the sequential path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from obca_tpu.solver.blocktri import _full_precision, qd_inv
+
+
+class CRLevel(NamedTuple):
+    """Per-level elimination data (shapes fixed per level).
+
+    odd_inv  [n_odd, nz, nz]   inverses of the eliminated odd diagonals
+    E_lo     [n_odd, nz, nz]   T[2k, 2k+1] blocks at this level (left
+                               coupling of each eliminated stage; zero
+                               where the stage had no left neighbour)
+    E_hi     [n_odd, nz, nz]   T[2k+1, 2k+2] blocks (right coupling)
+    """
+
+    odd_inv: jax.Array
+    E_lo: jax.Array
+    E_hi: jax.Array
+
+
+class CRFactor(NamedTuple):
+    levels: tuple     # tuple[CRLevel, ...], coarsening order
+    root_inv: jax.Array   # [nz, nz] inverse of the final 1-stage system
+
+
+def _pad_to_pow2(K, E, nw: int):
+    """Pad the stage axis to 2^p stages with decoupled quasidefinite
+    identity blocks (+I on the first nw rows, -I after); E rows padded
+    with zero blocks.  Padded x entries solve to 0 for 0 rhs."""
+    S, nz = K.shape[0], K.shape[1]
+    p = max(1, (S - 1).bit_length())
+    Sp = 1 << p
+    if Sp == S:
+        return K, E, S
+    d = Sp - S
+    sign = jnp.where(jnp.arange(nz) < nw, 1.0, -1.0).astype(K.dtype)
+    pad_blk = jnp.broadcast_to(jnp.diag(sign)[None], (d, nz, nz))
+    K = jnp.concatenate([K, pad_blk], axis=0)
+    E = jnp.concatenate(
+        [E, jnp.zeros((Sp - 1 - E.shape[0], nz, nz), K.dtype)], axis=0
+    )
+    return K, E, S
+
+
+@_full_precision
+def factor(K, E, nw: int) -> CRFactor:
+    """Cyclic-reduction factorization.
+
+    Args:
+      K [S, nz, nz] diagonal blocks (quasidefinite, primal-first nw).
+      E [S-1, nz, nz] upper off-diagonal blocks.
+    Returns a CRFactor reusable across solves (GCR preconditioning).
+    """
+    K, E, _ = _pad_to_pow2(K, E, nw)
+    dt = K.dtype
+    nz = K.shape[1]
+    levels = []
+    while K.shape[0] > 1:
+        S = K.shape[0]
+        half = S // 2
+        Kodd = K[1::2]                                     # [half, nz, nz]
+        odd_inv = qd_inv(Kodd, nw)
+        # Left coupling of odd stage 2k+1: E[2k]; always exists.
+        E_lo = E[0::2]                                     # [half, nz, nz]
+        # Right coupling: E[2k+1]; the last odd stage (S-1) has none.
+        E_hi = jnp.concatenate(
+            [E[1::2], jnp.zeros((half - E[1::2].shape[0], nz, nz), dt)],
+            axis=0,
+        )
+        levels.append(CRLevel(odd_inv=odd_inv, E_lo=E_lo, E_hi=E_hi))
+
+        AoL = odd_inv @ jnp.swapaxes(E_lo, -1, -2)   # K_odd^{-1} E_lo'
+        AoR = odd_inv @ E_hi                         # K_odd^{-1} E_hi
+        # New diagonals at even stages 2k:
+        #   - E_lo[k] K_odd[k]^{-1} E_lo[k]'   (odd right neighbour)
+        #   - E_hi[k-1]' K_odd[k-1]^{-1} E_hi[k-1]  (odd left neighbour)
+        upd_r = E_lo @ AoL                           # [half, nz, nz]
+        upd_l = jnp.swapaxes(E_hi, -1, -2) @ AoR
+        Knew = K[0::2]
+        Knew = Knew - jnp.concatenate(
+            [upd_r, jnp.zeros((Knew.shape[0] - half, nz, nz), dt)], axis=0
+        )
+        Knew = Knew.at[1:].add(-upd_l[: Knew.shape[0] - 1])
+        # New couplings between consecutive even stages 2k, 2k+2:
+        #   E'_k = -E_lo[k... wait bridging through odd stage 2k+1:
+        #   T'[2k, 2k+2] = -E_lo[k] K_odd[k]^{-1} E_hi[k].
+        Enew = -(E_lo @ AoR)[: Knew.shape[0] - 1]
+        K, E = Knew, Enew
+    root_inv = qd_inv(K[0], nw)
+    return CRFactor(levels=tuple(levels), root_inv=root_inv)
+
+
+@_full_precision
+def solve(fac: CRFactor, r):
+    """Solve T x = r given a CR factorization; r [S, nz]."""
+    S0, nz = r.shape
+    # Pad rhs to the factorization's stage count.
+    Sp = 2 ** len(fac.levels)
+    r = jnp.concatenate([r, jnp.zeros((Sp - S0, nz), r.dtype)], axis=0)
+
+    # Forward (reduction) pass: fold odd rhs into even neighbours.
+    rs = []
+    for lev in fac.levels:
+        rodd = r[1::2]                                   # [half, nz]
+        rs.append(rodd)
+        yodd = jnp.einsum("kij,kj->ki", lev.odd_inv, rodd)
+        upd_r = jnp.einsum("kij,kj->ki", lev.E_lo, yodd)
+        upd_l = jnp.einsum("kji,kj->ki", lev.E_hi, yodd)
+        reven = r[0::2]
+        reven = reven - jnp.concatenate(
+            [upd_r, jnp.zeros((reven.shape[0] - upd_r.shape[0], nz),
+                              r.dtype)], axis=0
+        )
+        reven = reven.at[1:].add(-upd_l[: reven.shape[0] - 1])
+        r = reven
+
+    x = (fac.root_inv @ r[0])[None]                      # [1, nz]
+
+    # Backward pass: recover odd unknowns level by level.
+    for lev, rodd in zip(reversed(fac.levels), reversed(rs)):
+        half = lev.odd_inv.shape[0]
+        # x currently holds the even-stage solutions of this level.
+        x_even = x                                       # [half(+), nz]
+        x_right = jnp.concatenate(
+            [x_even[1:], jnp.zeros((half - (x_even.shape[0] - 1), nz),
+                                   x.dtype)], axis=0
+        )[:half]
+        rhs = (rodd
+               - jnp.einsum("kji,kj->ki", lev.E_lo, x_even[:half])
+               - jnp.einsum("kij,kj->ki", lev.E_hi, x_right))
+        x_odd = jnp.einsum("kij,kj->ki", lev.odd_inv, rhs)
+        # Interleave even/odd back to the finer level.
+        S = 2 * half
+        x = jnp.zeros((S, nz), x.dtype)
+        x = x.at[0::2].set(x_even[:half])
+        x = x.at[1::2].set(x_odd)
+    return x[:S0]

@@ -3,10 +3,19 @@ multi-host code path (`jax.distributed.initialize` + global mesh +
 psum'd metrics) exercised with two local processes — no pod needed."""
 
 import os
+import socket
 import subprocess
 import sys
 
 import pytest
+
+
+def _free_port() -> str:
+    """Bind an ephemeral port and release it — avoids the hardcoded-
+    port flake when CI jobs run this test concurrently (ADVICE r2)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
 
 _WORKER = r"""
 import os, sys
@@ -52,7 +61,7 @@ def test_two_process_cpu_mesh(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     here = os.path.dirname(os.path.abspath(__file__))
-    port = "52135"
+    port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [

