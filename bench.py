@@ -71,12 +71,15 @@ def main():
     else:
         cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
 
+    # Static lattice geometry (concrete spec -> static-shift sweep).
+    lcfg = lattice.LatticeConfig.for_spec(base)
+
     @jax.jit
     def pipeline(specs, base):
         # The planner field depends only on (obstacles, goal): compute
         # once, share across the batch; each scenario extracts its own
         # start-dependent path from it.
-        field = lattice.plan_field(base)
+        field = lattice.plan_field(base, lcfg)
 
         def one(sp):
             W0 = geometric.lattice_warm_start(sp, dtype=dtype,

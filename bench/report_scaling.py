@@ -65,8 +65,10 @@ def main():
               for dx, dy in shifts],
         )
 
+    lcfg = lattice.LatticeConfig.for_spec(base)
+
     def pipeline(specs):
-        field = lattice.plan_field(base)
+        field = lattice.plan_field(base, lcfg)
 
         def one(sp):
             W0 = geometric.lattice_warm_start(sp, dtype=dtype,

@@ -37,11 +37,13 @@ def main():
     specs = _common.scenario_batch(base, args.rollouts, seed=args.seed,
                                    spread=0.3)
 
+    lcfg = lattice.LatticeConfig.for_spec(base)
+
     @jax.jit
     def fleet(specs):
         # One planner field for the fleet (start-independent); each
         # rollout extracts its own initial path from it.
-        field = lattice.plan_field(base)
+        field = lattice.plan_field(base, lcfg)
 
         def one(sp):
             W0 = geometric.lattice_warm_start(sp, dtype=cfg.dtype,

@@ -48,7 +48,7 @@ def main():
 
     # The lattice planner field depends only on (obstacles, goal):
     # computed once on the host spec, shared by every scenario.
-    field = lattice.plan_field(base)
+    field = lattice.plan_field(base, lattice.LatticeConfig.for_spec(base))
 
     def pipeline(specs):
         def one(sp):

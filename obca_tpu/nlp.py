@@ -523,6 +523,71 @@ def coupling_block(L: Layout, spec: ProblemSpec, active):
     return E[None] - last[:, None, None] * E_last_fix[None]
 
 
+def coupling_structure(L: Layout):
+    """Static sparsity of the constant off-diagonal block E
+    (:func:`coupling_block`): E has ~11 nonzeros of nz^2 — dynamics
+    identity (4), free-time tau link (1), rate rows (4), rate-cost
+    cross term (2).  The hot path never materializes the dense E: the
+    Ruiz scaling, the GCR matvec, and the Pallas kernels all work on
+    `(rows, cols, values)` directly (the round-3 traffic fix: dense E
+    streams were ~half the per-iteration HBM bytes).
+
+    Returns (rows [nnz], cols [nnz]) as static numpy int arrays.
+    """
+    nw = L.nw
+    rows, cols = [], []
+    # dynamics: (nu_k dyn rows, w_{k+1} x cols) = I4
+    for i in range(4):
+        rows.append(nw + L.r_dyn.start + i)
+        cols.append(i)
+    # free-time tau consensus row (value 0 when fix_time).
+    rows.append(nw + L.i_taulink)
+    cols.append(L.i_tau)
+    # rate rows: (w_k u rows, nu_{k+1} rate cols).
+    iu = [L.sl_u.start, L.sl_u.start + 1]
+    rate_in = [0, 0, 1, 1]
+    for j in range(4):
+        rows.append(iu[rate_in[j]])
+        cols.append(nw + L.r_rate.start + j)
+    # rate-cost cross term: (u_k, u_{k+1}) diagonal.
+    for i in range(2):
+        rows.append(iu[i])
+        cols.append(iu[i])
+    return np.asarray(rows), np.asarray(cols)
+
+
+def coupling_values(L: Layout, spec: ProblemSpec):
+    """Values of E at :func:`coupling_structure` positions, [N, nnz].
+    Identical content to `coupling_block` (asserted in tests)."""
+    dt = spec.x0.dtype
+    one = jnp.ones((), dt)
+    du_on = (spec.du_max >= 0).astype(dt)
+    rate_sign = jnp.asarray([1.0, -1.0, 1.0, -1.0], dt)
+    rate_in = np.array([0, 0, 1, 1])
+    r_du2 = 2.0 * spec.r_du / spec.Ts ** 2
+    vals = jnp.concatenate([
+        jnp.ones((4,), dt),                       # dynamics I4
+        (jnp.zeros((), dt) if L.fix_time else one)[None],
+        rate_sign * du_on[rate_in],               # rate rows
+        -r_du2,                                   # rate cost
+    ])
+    # Edge masking: stage N-1 keeps only the dynamics/tau entries.
+    ks = jnp.arange(L.N)
+    last = (ks == L.N - 1).astype(dt)[:, None]
+    edge = jnp.concatenate([jnp.ones((5,), dt), jnp.zeros((6,), dt)])
+    return vals[None, :] * (1.0 - last * (1.0 - edge[None, :]))
+
+
+def assemble_kkt_structured(L: Layout, W, nu, sigma_w, sigma_c, rhs_w,
+                            rhs_c, spec: ProblemSpec, active, delta_w):
+    """Hot-path KKT assembly: like :func:`assemble_kkt` but returns the
+    coupling as sparse values `(K, e_vals [N, nnz], rhs)` — the dense E
+    is never built."""
+    K, rhs = _assemble_k_rhs(L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
+                             spec, active, delta_w)
+    return K, coupling_values(L, spec), rhs
+
+
 def constraint_blocks_analytic(L: Layout, W, nu, spec: ProblemSpec):
     """Hand-structured constraint Jacobians/Hessians (SURVEY.md §2.2
     C11): identical output to :func:`constraint_blocks` (the AD

@@ -59,7 +59,7 @@ def lattice_warm_start(spec, dtype=None, dual_eps=1e-2, cfg=None,
     from obca_tpu.warmstart import lattice as lattice_mod
     from obca_tpu.warmstart import velosmooth
 
-    lcfg = cfg or lattice_mod.LatticeConfig()
+    lcfg = cfg or lattice_mod.default_config(spec)
     if field is None:
         field = lattice_mod.plan_field(spec, lcfg)
     poses, dirs, seg_len, n_valid, reached = lattice_mod.extract(

@@ -57,7 +57,8 @@ def main():
                               x0=base_spec.x0.at[0].add(dx).at[1].add(dy))
           for dx, dy in shifts],
     )
-    field = lattice.plan_field(base_spec)
+    field = lattice.plan_field(base_spec,
+                               lattice.LatticeConfig.for_spec(base_spec))
     W0s = jax.jit(jax.vmap(
         lambda sp: geometric.lattice_warm_start(sp, dtype=jnp.float32,
                                                 field=field)
