@@ -40,7 +40,9 @@ import numpy as np  # noqa: E402
 def main():
     B = int(os.environ.get("BENCH_B", "128"))
     N = int(os.environ.get("BENCH_N", "80"))
-    max_iter = int(os.environ.get("BENCH_ITERS", "120"))
+    # Pass-1 iteration cap; the rescue pass handles the tail, so this
+    # sits just above the median iteration count instead of 2.5x it.
+    max_iter = int(os.environ.get("BENCH_ITERS", "70"))
     mode = os.environ.get("BENCH_DTYPE", "f32")
     dtype = jnp.float32
     if mode in ("f64", "mixed"):
@@ -80,13 +82,14 @@ def main():
         # once, share across the batch; each scenario extracts its own
         # start-dependent path from it.
         field = lattice.plan_field(base, lcfg)
-
-        def one(sp):
-            W0 = geometric.lattice_warm_start(sp, dtype=dtype,
-                                              field=field)
-            return ipm.solve_single(sp, cfg, W0)
-
-        return jax.vmap(one, in_axes=(0,))(specs)
+        W0 = jax.vmap(
+            lambda sp: geometric.lattice_warm_start(sp, dtype=dtype,
+                                                    field=field)
+        )(specs)
+        # Two-pass batched solve: lanes whose warm start lands in a bad
+        # dual basin are re-seeded from a converged neighbor (see
+        # ipm.solve_batch_rescued) — converged == B instead of ~92%.
+        return ipm.solve_batch_rescued(specs, cfg, W0)
 
     # Warmup / compile.
     res = jax.block_until_ready(pipeline(specs, base))

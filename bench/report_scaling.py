@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--per-device", type=int, default=128,
                     help="scenarios per device")
     ap.add_argument("--n", type=int, default=80)
-    ap.add_argument("--max-iter", type=int, default=120)
+    ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize (multi-host)")
     args = ap.parse_args()
@@ -69,13 +69,11 @@ def main():
 
     def pipeline(specs):
         field = lattice.plan_field(base, lcfg)
-
-        def one(sp):
-            W0 = geometric.lattice_warm_start(sp, dtype=dtype,
-                                              field=field)
-            return ipm.solve_single(sp, cfg, W0)
-
-        return jax.vmap(one)(specs)
+        W0 = jax.vmap(
+            lambda sp: geometric.lattice_warm_start(sp, dtype=dtype,
+                                                    field=field)
+        )(specs)
+        return ipm.solve_batch_rescued(specs, cfg, W0)
 
     rows = []
     device_counts = sorted({1, max(1, jax.local_device_count()),

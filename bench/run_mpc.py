@@ -20,10 +20,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rollouts", type=int, default=64)
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--N", type=int, default=40)
+    ap.add_argument("--N", type=int, default=80)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
                     default="f32")
-    ap.add_argument("--max-iter", type=int, default=60)
+    ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -57,17 +57,31 @@ def main():
     res = jax.block_until_ready(fleet(specs))
     wall = time.perf_counter() - t0
 
+    # Per-rollout (non-amortized) replan latency: the same closed loop
+    # at fleet size 1 — the real-time budget a single vehicle sees
+    # (BASELINE config 5: 100 ms @ 10 Hz).
+    specs1 = jax.tree.map(lambda a: a[:1], specs)
+    res1 = jax.block_until_ready(fleet(specs1))  # compile + warmup
+    t0 = time.perf_counter()
+    res1 = jax.block_until_ready(fleet(specs1))
+    wall1 = time.perf_counter() - t0
+
     st = np.asarray(res.status)                 # [R, T]
     per_step_ms = wall / args.steps * 1e3
     print(json.dumps({
         "rollouts": args.rollouts,
         "steps": args.steps,
+        "N": args.N,
         "config": args.config,
         "wall_s": round(wall, 3),
         "ms_per_mpc_step_fleet": round(per_step_ms, 2),
+        "ms_per_mpc_step_single": round(wall1 / args.steps * 1e3, 2),
         "achieved_hz_fleet": round(args.steps / wall, 2),
+        "achieved_hz_single": round(args.steps / wall1, 2),
         "solves_per_s": round(args.rollouts * args.steps / wall, 1),
         "step_convergence_rate": float((st == 0).mean()),
+        "step_convergence_rate_single":
+            float((np.asarray(res1.status) == 0).mean()),
     }))
 
 

@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
                     default="f32")
-    ap.add_argument("--max-iter", type=int, default=150)
+    ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--out", default="/tmp/obca_sweep")
     args = ap.parse_args()
 
@@ -51,12 +51,12 @@ def main():
     field = lattice.plan_field(base, lattice.LatticeConfig.for_spec(base))
 
     def pipeline(specs):
-        def one(sp):
-            W0 = geometric.lattice_warm_start(sp, dtype=cfg.dtype,
-                                              field=field)
-            return ipm.solve_single(sp, cfg, W0)
-
-        return jax.vmap(one)(specs)
+        W0 = jax.vmap(
+            lambda sp: geometric.lattice_warm_start(sp, dtype=cfg.dtype,
+                                                    field=field)
+        )(specs)
+        # Neighbor-seeded rescue pass for bad-basin lanes.
+        return ipm.solve_batch_rescued(specs, cfg, W0)
 
     n_shards = -(-args.batch // shard_size)
     done = total_conv = 0

@@ -365,6 +365,21 @@ def assemble_kkt(L: NavLayout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
     return K, E, rhs
 
 
+def coupling_structure(L: NavLayout):
+    """Same constant-coupling sparsity as the parking problem."""
+    return nlp.coupling_structure(L)
+
+
+def assemble_kkt_structured(L: NavLayout, W, nu, sigma_w, sigma_c,
+                            rhs_w, rhs_c, spec: NavSpec, active,
+                            delta_w):
+    """Hot-path assembly: K/rhs as :func:`assemble_kkt`, coupling as
+    sparse values (the dense E is never built)."""
+    K, _, rhs = assemble_kkt(L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
+                             spec, active, delta_w)
+    return K, nlp.coupling_values(L, spec), rhs
+
+
 # ---------------------------------------------------------------------------
 # Warm start.
 # ---------------------------------------------------------------------------

@@ -736,21 +736,10 @@ def default_init(spec: ProblemSpec, dtype=None):
     return geometric.warm_start(spec, dtype=dtype)
 
 
-def assemble_kkt(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
-                 spec: ProblemSpec, active, delta_w):
-    """Assemble the per-stage KKT diagonal blocks and RHS.
-
-    Args:
-      W        [N+1, nw]   primal iterate
-      nu       [N+1, nc]   constraint multipliers
-      sigma_w  [N+1, nw]   diagonal primal terms (bound barrier Sigma)
-      sigma_c  [N+1, nc]   diagonal dual terms (negative: -delta_c for
-                           equalities, -(s/y) - delta_c for inequalities,
-                           -1 for masked rows)
-      rhs_w    [N+1, nw]   negative dual residual (-r_w)
-      rhs_c    [N+1, nc]   negative primal residual rows
-    Returns (K [N+1, nz, nz], E [N, nz, nz], rhs [N+1, nz]).
-    """
+def _assemble_k_rhs(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
+                    spec: ProblemSpec, active, delta_w):
+    """Diagonal blocks + RHS (shared by the dense and structured
+    assemblers)."""
     J, Hc = constraint_blocks_analytic(L, W, nu * active, spec)
     Hobj, _ = objective_stage_hessians(L, spec)
     Jm = J * active[:, :, None]
@@ -766,6 +755,26 @@ def assemble_kkt(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
     K = K.at[:, : L.nw, L.nw:].set(jnp.swapaxes(Jm, -1, -2))
     K = K.at[:, L.nw:, L.nw:].set(jax.vmap(jnp.diag)(sigma_c))
 
-    E = coupling_block(L, spec, active)
     rhs = jnp.concatenate([rhs_w, rhs_c], axis=-1)
+    return K, rhs
+
+
+def assemble_kkt(L: Layout, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
+                 spec: ProblemSpec, active, delta_w):
+    """Assemble the per-stage KKT diagonal blocks and RHS.
+
+    Args:
+      W        [N+1, nw]   primal iterate
+      nu       [N+1, nc]   constraint multipliers
+      sigma_w  [N+1, nw]   diagonal primal terms (bound barrier Sigma)
+      sigma_c  [N+1, nc]   diagonal dual terms (negative: -delta_c for
+                           equalities, -(s/y) - delta_c for inequalities,
+                           -1 for masked rows)
+      rhs_w    [N+1, nw]   negative dual residual (-r_w)
+      rhs_c    [N+1, nc]   negative primal residual rows
+    Returns (K [N+1, nz, nz], E [N, nz, nz], rhs [N+1, nz]).
+    """
+    K, rhs = _assemble_k_rhs(L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c,
+                             spec, active, delta_w)
+    E = coupling_block(L, spec, active)
     return K, E, rhs

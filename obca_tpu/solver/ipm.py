@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from obca_tpu import nlp
 from obca_tpu.solver import blocktri, kkt
@@ -137,6 +138,10 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
     quadcopter-nav example — SURVEY.md §2.2 C5).
     """
     L = prob.layout_of(spec)
+    # Static sparsity of the constant inter-stage coupling E: the hot
+    # path carries E as values-at-positions only (round-3 redesign —
+    # dense E streams were ~half the per-iteration HBM traffic).
+    e_rows, e_cols = prob.coupling_structure(L)
     dt = cfg.dtype
     spec = jax.tree.map(lambda x: x.astype(dt)
                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -204,7 +209,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         sig_c0 = jnp.where(eq_row > 0, -1e-4, -1.0)
         rhs_w0 = -(gl0 - zL0 + zU0)
         rhs_c0 = jnp.zeros_like(nu0)
-        K0, E0, rhs0 = prob.assemble_kkt(
+        K0, ev0, rhs0 = prob.assemble_kkt_structured(
             L, W0, jnp.zeros_like(nu0), sig_w0, sig_c0, rhs_w0, rhs_c0,
             spec, active, jnp.zeros((), dt),
         )
@@ -212,10 +217,11 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             [jnp.full((L.nw,), cfg.delta_factor, dt),
              jnp.full((L.nc,), -cfg.delta_factor, dt)]
         )
-        kkt_ls = kkt.make_kkt_solver(
-            L.nw, 4, cfg.factor_dtype or dt, cfg.residual_dtype or dt
+        kkt_ls = kkt.make_kkt_solver_se(
+            L.nw, 4, cfg.factor_dtype or dt, cfg.residual_dtype or dt,
+            e_rows, e_cols,
         )
-        d0, _ = kkt_ls(K0, E0, reg0, rhs0)
+        d0, _ = kkt_ls(K0, ev0.astype(dt), reg0, rhs0)
         nu_ls = d0[:, L.nw:]
         # Guard (Ipopt's laminit trick, strengthened): keep the LS
         # estimate only if it actually improves the dual stationarity
@@ -246,12 +252,13 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         lambda W, nu: prob.total_lagrangian(L, W, nu, spec, active)
     )
 
-    kkt_main = kkt.make_kkt_solver(
+    kkt_main = kkt.make_kkt_solver_se(
         L.nw, cfg.refine_iters, cfg.factor_dtype or dt,
-        cfg.residual_dtype or dt,
+        cfg.residual_dtype or dt, e_rows, e_cols,
     )
-    kkt_soc = kkt.make_kkt_solver(
+    kkt_soc = kkt.make_kkt_solver_se(
         L.nw, 2, cfg.factor_dtype or dt, cfg.residual_dtype or dt,
+        e_rows, e_cols,
     )
 
     def kkt_error_pieces(gl, c, W, nu, s, zL, zU, mu):
@@ -322,25 +329,42 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
                  + in_row * (-(c - mu / y))
                  + (1.0 - active) * nu)
 
-        K, E, rhs = prob.assemble_kkt(
+        K, ev, rhs = prob.assemble_kkt_structured(
             L, W, nu, sigma_w, sigma_c, rhs_w, rhs_c, spec, active,
             state.delta_w,
         )
+        ev = ev.astype(dt)
         # Symmetric Ruiz equilibration: the KKT mixes scales across many
         # orders of magnitude (barrier Sigma ~ mu/slack^2 vs unit
         # Jacobians), which breaks low-precision pivoting-free
         # factorization.  Iteratively scale rows/cols by
         # 1/sqrt(row_inf_norm), factor the well-scaled system, unscale.
-        K_s, E_s = K, E
+        # The coupling participates through its sparse values only.
+        # One-hot placement matrices for the E sparsity (constants; TPU
+        # scatters run element-at-a-time, tiny one-hot contractions
+        # don't).
+        _Pr = np.zeros((len(e_rows), L.nz), np.float64)
+        _Pc = np.zeros((len(e_cols), L.nz), np.float64)
+        for _j in range(len(e_rows)):
+            _Pr[_j, e_rows[_j]] = 1.0
+            _Pc[_j, e_cols[_j]] = 1.0
+        P_r = jnp.asarray(_Pr, dt)
+        P_c = jnp.asarray(_Pc, dt)
+
+        K_s, ev_s = K, ev
         dsc = jnp.ones_like(rhs)
         for _ in range(cfg.ruiz_iters):
             rn = jnp.max(jnp.abs(K_s), axis=-1)
-            rn = rn.at[:-1].max(jnp.max(jnp.abs(E_s), axis=-1))
-            rn = rn.at[1:].max(jnp.max(jnp.abs(E_s), axis=-2))
+            aev = jnp.abs(ev_s)
+            rn_r = jnp.max(aev[:, :, None] * P_r[None], axis=1)
+            rn_c = jnp.max(aev[:, :, None] * P_c[None], axis=1)
+            rn = rn.at[:-1].max(rn_r)
+            rn = rn.at[1:].max(rn_c)
             f = 1.0 / jnp.sqrt(jnp.clip(rn, 1e-10, None))
             dsc = dsc * f
             K_s = K_s * f[:, :, None] * f[:, None, :]
-            E_s = E_s * f[:-1, :, None] * f[1:, None, :]
+            ev_s = (ev_s * jnp.take(f[:-1], jnp.asarray(e_rows), axis=1)
+                    * jnp.take(f[1:], jnp.asarray(e_cols), axis=1))
         rhs_s = rhs * dsc
 
         # Factor a +-delta_factor-regularized copy (stable in fixed pivot
@@ -364,7 +388,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # recovers the accurate direction (SURVEY.md §7 hard part 1).
         # `kkt_main` dispatches to the XLA path per scenario or, under
         # vmap on TPU, to the batch-in-lanes Pallas kernels.
-        d, lin_res = kkt_main(K_s, E_s, reg, rhs_s)
+        d, lin_res = kkt_main(K_s, ev_s, reg, rhs_s)
         # Step-quality gate: an occasional ill-conditioned system makes
         # the refined solve diverge; such garbage directions must never
         # be taken (they poison the iterate even at tiny step sizes).
@@ -461,7 +485,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
         # that is cheaper than shipping factor arrays across the
         # custom_vmap boundary.)
         if cfg.soc:
-            d_soc, _ = kkt_soc(K_s, E_s, reg, rhs_soc * dsc)
+            d_soc, _ = kkt_soc(K_s, ev_s, reg, rhs_soc * dsc)
             d_soc = d_soc * dsc
             dW_soc = d_soc[:, : L.nw]
             dy_soc = jnp.where(in_row > 0, -d_soc[:, L.nw:], 0.0)
@@ -571,7 +595,9 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             )
             if hasattr(L, "r_obca_eq"):
                 groups["oeq"] = L.r_obca_eq
-            linres = jnp.max(jnp.abs(blocktri.matvec(K, E, d) - rhs))
+            E_dbg = jnp.zeros((L.N, L.nz, L.nz), dt).at[
+                :, e_rows, e_cols].set(ev)
+            linres = jnp.max(jnp.abs(blocktri.matvec(K, E_dbg, d) - rhs))
             diag = dict(
                 linres=linres, take_full=take_full, take_soc=use_soc,
                 err_mu=err_mu, err0=err0, mu=mu, a_pri=a_pri, a_z=a_z,
@@ -710,3 +736,65 @@ def solve_batch(specs: ProblemSpec, cfg: SolverConfig, W0=None, prob=nlp):
     return jax.vmap(
         lambda sp, w: solve_single(sp, cfg, w, prob=prob)
     )(specs, W0)
+
+
+def _bcast_like(mask, a):
+    return mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+
+
+def solve_batch_rescued(specs: ProblemSpec, cfg: SolverConfig, W0=None,
+                        prob=nlp, rescue_mu: float = 1e-5):
+    """Batched solve with a neighbor-seeded rescue pass.
+
+    A small fraction of randomized instances lands in a diverging dual
+    basin of the nonconvex OBCA NLP: the lattice warm start's dual
+    estimates explode (|nu| -> 1e3+) and the solve jams at the first
+    barrier — in f64 as much as f32, so it is a basin problem, not a
+    precision problem (measured round 3: 10/128 bench lanes, none
+    recoverable by solver knobs).  But every such instance converges in
+    ~12-15 iterations when seeded from a *converged neighbor's*
+    solution (primal trajectory + full dual state, the MPC-style warm
+    re-solve at a near-final barrier mu).  This is the batched analog
+    of the reference pipeline's reliance on a good DualMultWS init
+    (SURVEY.md §2.1 warm-start step 3): when the per-instance init
+    fails, the batch itself supplies a better one.
+
+    Pass 1 solves all lanes from `W0`; pass 2 re-solves every lane,
+    seeding non-converged lanes from their nearest converged neighbor
+    (Euclidean distance in x0) at ``mu = rescue_mu``; converged lanes
+    keep their pass-1 result (pass 2 re-freezes them within a few
+    iterations, under the batched while_loop they ride along for free).
+    If pass 1 converged nothing there are no donors; pass-1 results are
+    returned unchanged.
+
+    Returns a SolveResult with `iters` = total iterations spent per
+    lane (pass 1 + pass 2 where pass 2 ran).
+    """
+    import dataclasses as _dc
+
+    res1 = solve_batch(specs, cfg, W0, prob=prob)
+    ok1 = res1.status == STATUS_CONVERGED
+    any_ok = jnp.any(ok1)
+
+    x0s = specs.x0                                     # [B, 4]
+    d2 = jnp.sum((x0s[:, None, :] - x0s[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(ok1[None, :], d2, jnp.inf)
+    donor = jnp.argmin(d2, axis=1)                     # [B]
+
+    seed = lambda a: jnp.where(_bcast_like(ok1, a), a, a[donor])
+    W_seed = seed(res1.W)
+    duals_seed = jax.tree.map(seed, res1.duals)
+
+    cfg2 = _dc.replace(
+        cfg, mu_init=jnp.asarray(rescue_mu, cfg.mu_init.dtype)
+    )
+    res2 = jax.vmap(
+        lambda sp, w, d: solve_single(sp, cfg2, w, duals0=d, prob=prob)
+    )(specs, W_seed, duals_seed)
+
+    keep1 = ok1 | ~any_ok
+    merged = jax.tree.map(
+        lambda a, b: jnp.where(_bcast_like(keep1, a), a, b), res1, res2
+    )
+    iters = res1.iters + jnp.where(keep1, 0, res2.iters)
+    return merged._replace(iters=iters)

@@ -69,6 +69,129 @@ def _matvec_lanes(K, E, x):
     return out
 
 
+def _matvec_lanes_se(K, ev, rows, cols, x):
+    """Block-tridiagonal matvec with the coupling as sparse values:
+    K [S, nz, nz, B], ev [S-1, nnz, B], x [S, nz, B].  The E terms are
+    placed with one-hot selection matmuls instead of scatters (TPU
+    executes scatters element at a time; a [nnz, nz] one-hot
+    contraction is a tiny matmul)."""
+    nz = K.shape[1]
+    nnz = len(rows)
+    P_r = np.zeros((nnz, nz), np.float64)
+    P_c = np.zeros((nnz, nz), np.float64)
+    for j in range(nnz):
+        P_r[j, rows[j]] = 1.0
+        P_c[j, cols[j]] = 1.0
+    P_r = jnp.asarray(P_r, x.dtype)
+    P_c = jnp.asarray(P_c, x.dtype)
+
+    out = jnp.sum(K * x[:, None, :, :], axis=2)
+    xr = jnp.take(x, jnp.asarray(rows), axis=1)    # [S, nnz, B]
+    xc = jnp.take(x, jnp.asarray(cols), axis=1)
+    # (E x_{k+1})[i] = sum_j 1[rows_j == i] ev_j x_{k+1}[cols_j]
+    out = out.at[:-1].add(
+        jnp.einsum("snb,nz->szb", ev * xc[1:], P_r))
+    # (E' x_{k-1})[c] = sum_j 1[cols_j == c] ev_j x_{k-1}[rows_j]
+    out = out.at[1:].add(
+        jnp.einsum("snb,nz->szb", ev * xr[:-1], P_c))
+    return out
+
+
+def make_kkt_solver_se(nw: int, m: int, factor_dtype, residual_dtype,
+                       rows, cols, *, interpret: bool = False,
+                       force_pallas: bool | None = None):
+    """Structured-coupling variant of :func:`make_kkt_solver`.
+
+    The off-diagonal block enters as values `ev [S-1, nnz]` at the
+    static sparsity (rows, cols) — the dense E is never materialized
+    on the hot path (it was ~half the per-iteration HBM traffic).
+    ``solve(K, ev, reg, rhs) -> (d, lin_res)`` with K UNregularized;
+    the +/- `reg` diagonal is applied by the factor path itself.
+    """
+    fd = factor_dtype
+    rd = residual_dtype
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+
+    @jax.custom_batching.custom_vmap
+    def solve(K, ev, reg, rhs):
+        S, nz = K.shape[0], K.shape[1]
+        E = jnp.zeros((S - 1, nz, nz), K.dtype)
+        E = E.at[:, rows, cols].set(ev)
+        K_f = (K + jnp.diag(reg)[None, :, :]).astype(fd)
+        fac = blocktri.factor(K_f, E.astype(fd), nw=nw)
+        return blocktri.solve_gcr(K, E, fac, rhs, m=m,
+                                  residual_dtype=rd)
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, K, ev, reg, rhs):
+        B = axis_size
+        kb, eb, gb, rb = in_batched
+        if not kb:
+            K = jnp.broadcast_to(K[None], (B,) + K.shape)
+        if not eb:
+            ev = jnp.broadcast_to(ev[None], (B,) + ev.shape)
+        if not gb:
+            reg = jnp.broadcast_to(reg[None], (B,) + reg.shape)
+        if not rb:
+            rhs = jnp.broadcast_to(rhs[None], (B,) + rhs.shape)
+
+        use_pallas = force_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if not use_pallas:
+            d, lin = jax.vmap(solve.fun)(K, ev, reg, rhs)
+            return (d, lin), (True, True)
+
+        from obca_tpu.solver.pallas import blocktri_kernel as bk
+
+        S, nz = K.shape[1], K.shape[2]
+        nzp = _round_up(nz, 8)
+        Bp = _round_up(B, bk.LANES)
+        dt = K.dtype
+
+        with jax.default_matmul_precision("highest"):
+            Kt = jnp.transpose(K, (1, 2, 3, 0))          # [S,nz,nz,B]
+            evt = jnp.transpose(ev, (1, 2, 0))           # [S-1,nnz,B]
+            rt = jnp.transpose(rhs, (1, 2, 0))           # [S,nz,B]
+            regT = jnp.transpose(reg, (1, 0))            # [nz,B]
+            # ONE padded copy of K (pad diag -1, padded lanes QD
+            # identity); the factor adds `reg` in-kernel, the GCR
+            # matvec uses the same unregularized array.
+            Kt_p, _, _ = bk.pad_system(
+                Kt, jnp.zeros((S - 1, nz, nz, B), dt), [], nzp, Bp,
+                nw=nw,
+            )
+            evt_p = jnp.pad(evt, ((0, 0), (0, 0), (0, Bp - B)))
+            reg_p = jnp.pad(regT, ((0, nzp - nz), (0, Bp - B)))
+            rt_p = jnp.pad(rt, ((0, 0), (0, nzp - nz), (0, Bp - B)))
+
+            Sinv, Wc, ucols = bk.factor_batched_se(
+                Kt_p.astype(fd), evt_p.astype(fd), reg_p.astype(fd),
+                rows, cols, nw, interpret=interpret,
+            )
+
+            same_rd = np.dtype(rd) == np.dtype(dt)
+            Kt_r = Kt_p if same_rd else Kt_p.astype(rd)
+            evt_r = evt_p if same_rd else evt_p.astype(rd)
+
+            def precond(res):
+                return bk.solve_batched_se(
+                    Sinv, Wc, evt_p.astype(fd), res.astype(fd),
+                    rows, cols, ucols, interpret=interpret,
+                )
+
+            def matvec(x):
+                return _matvec_lanes_se(Kt_r, evt_r, rows, cols,
+                                        x.astype(rd))
+
+            x, lin = _gcr_batched(matvec, precond, rt_p, m, rd)
+        d = jnp.transpose(x[:, :nz, :B], (2, 0, 1)).astype(dt)
+        return (d, lin[:B].astype(dt)), (True, True)
+
+    return solve
+
+
 def make_kkt_solver(nw: int, m: int, factor_dtype, residual_dtype,
                     *, interpret: bool = False,
                     force_pallas: bool | None = None):

@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _i32(v):
     """Index-map values must stay int32: under jax_enable_x64 plain
     python-int map outputs promote to int64, which Mosaic cannot
@@ -292,6 +296,269 @@ def solve_batched(Sinv, W, E, r, *, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((nz, B), dt)],
         interpret=interpret,
     )(W_pad, y)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Sparse-coupling (structured-E) kernels.
+#
+# The OBCA inter-stage coupling E is CONSTANT per scenario with ~11
+# nonzeros of nz^2 (nlp.coupling_structure): dynamics identity, tau
+# link, rate rows, rate-cost cross term.  Streaming dense [S, nz, nz, B]
+# E/W arrays was ~half the per-iteration HBM traffic (round-3 profile);
+# these kernels take E as values-at-static-positions [S-1, nnz, B] and
+# store W = Sinv_prev E compactly over E's ~10 nonzero COLUMNS only.
+# The diagonal regularization is also applied in-kernel, removing the
+# separate regularized copy of K.
+# ---------------------------------------------------------------------------
+
+
+def _factor_se_kernel(nw, rows, cidx, ucols, Cp,
+                      K_ref, ev_ref, reg_ref, P_ref, Sinv_ref, Wc_ref,
+                      sprev):
+    # NOTE: no jnp `.at[].add/.set` anywhere — Mosaic has no scatter
+    # lowering.  All placements use stacks over static column indices
+    # or contractions with the 0/1 selection matrix P (passed as an
+    # input: Pallas rejects captured non-scalar constants).
+    k = pl.program_id(0)
+    Kk = K_ref[0]                                   # [nz, nz, B]
+    nz = Kk.shape[0]
+    dtype = Kk.dtype
+    reg = reg_ref[0]                                # [nz, B]
+    eye = jnp.eye(nz, dtype=dtype)
+    Kk = Kk + eye[:, :, None] * reg[:, None, :]
+
+    @pl.when(k == 0)
+    def _():
+        Sinv = _qd_inv_b(Kk, nw)
+        Sinv_ref[0] = Sinv
+        Wc_ref[0] = jnp.zeros(Kk.shape[:1] + (Cp,) + Kk.shape[2:],
+                              dtype)
+        sprev[...] = Sinv
+
+    @pl.when(k > 0)
+    def _():
+        ev = ev_ref[0]                              # [nnzp, B], stage k-1
+        sp = sprev[...]
+        B = Kk.shape[2]
+        nnz = len(rows)
+        # Scalar-int VALUE indexing lowers to an unsupported Mosaic
+        # gather; every pick below is slice-then-broadcast instead.
+        ev_j = [ev[j:j + 1, :] for j in range(nnz)]            # [1, B]
+        sp_r = [sp[:, r:r + 1, :] for r in rows]               # [nz,1,B]
+        # W_{k} = Sinv_{k-1} E_{k-1}, compact over E's nonzero columns:
+        # column c_i = sum of ev_j * Sinv[:, rows[j]] over entries with
+        # cidx[j] == c_i, built by concatenation (static grouping).
+        colbufs = []
+        for c_i in range(Cp):
+            js = [j for j in range(nnz) if cidx[j] == c_i]
+            if js:
+                acc = ev_j[js[0]][None] * sp_r[js[0]]
+                for j in js[1:]:
+                    acc = acc + ev_j[j][None] * sp_r[j]
+            else:
+                acc = jnp.zeros((nz, 1, B), dtype)
+            colbufs.append(acc)
+        Wc = jnp.concatenate(colbufs, axis=1)       # [nz, Cp, B]
+        # U[a, c] = (E' W)[ucols[a], ucols[c]] — the only nonzero part
+        # of the Schur update.
+        Wc_r = {r: Wc[r:r + 1, :, :] for r in set(rows)}       # [1,Cp,B]
+        urows = []
+        for a_i in range(Cp):
+            js = [j for j in range(nnz) if cidx[j] == a_i]
+            if js:
+                acc = ev_j[js[0]][:, None, :] * Wc_r[rows[js[0]]]
+                for j in js[1:]:
+                    acc = acc + ev_j[j][:, None, :] * Wc_r[rows[j]]
+            else:
+                acc = jnp.zeros((1, Cp, B), dtype)
+            urows.append(acc)
+        U = jnp.concatenate(urows, axis=0)          # [Cp, Cp, B]
+        # Scatter U into the dense stage block via the 0/1 selection
+        # matrix P [Cp, nz] (kernel input): U_full = P' U P.
+        P_in = P_ref[...]                           # [Cp, nz]
+        Pb = jnp.broadcast_to(P_in[:, :, None], (Cp, nz, B))
+        PbT = jnp.broadcast_to(
+            jnp.swapaxes(P_in, 0, 1)[:, :, None], (nz, Cp, B))
+        U_full = _bmm(_bmm(PbT, U), Pb)             # [nz, nz, B]
+        Sinv = _qd_inv_b(Kk - U_full, nw)
+        Sinv_ref[0] = Sinv
+        Wc_ref[0] = Wc
+        sprev[...] = Sinv
+
+
+def factor_batched_se(K, ev, reg, rows, cols, nw: int, *,
+                      interpret: bool = False):
+    """Sparse-coupling factorization.
+
+    Args:
+      K   [S, nz, nz, B] UNregularized diagonal blocks (batch minor).
+      ev  [S-1, nnz, B]  E values at (rows, cols).
+      reg [nz, B]        diagonal regularization added in-kernel.
+      rows/cols: static python int sequences (the E sparsity).
+    Returns (Sinv [S, nz, nz, B], Wc [S-1, nz, Cp, B], ucols) with
+      Wc[k][:, c_i] = (S_k^{-1} E_k)[:, ucols[c_i]].
+    """
+    S, nz, _, B = K.shape
+    dt = K.dtype
+    rows = [int(r) for r in rows]
+    ucols = sorted({int(c) for c in cols})
+    cidx = [ucols.index(int(c)) for c in cols]
+    Cp = _round_up(len(ucols), 8)
+
+    nnz = ev.shape[1]
+    nnzp = _round_up(nnz, 8)
+    ev = jnp.pad(ev.astype(dt), ((1, 0), (0, nnzp - nnz), (0, 0)))
+    P_np = np.zeros((Cp, nz), np.float64)
+    for c_i, c in enumerate(ucols):
+        P_np[c_i, c] = 1.0
+    P = jnp.asarray(P_np, dt)
+
+    grid = (S,)
+    blk = (1, nz, nz, B)
+    out_shape = (
+        jax.ShapeDtypeStruct((S, nz, nz, B), dt),
+        jax.ShapeDtypeStruct((S, nz, Cp, B), dt),
+    )
+    Sinv, Wc_full = pl.pallas_call(
+        functools.partial(_factor_se_kernel, nw, rows, cidx, ucols, Cp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nnzp, B), _map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, B), lambda k: (_Z, _Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, nz), lambda k: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, Cp, B),
+                         lambda k: (_i32(jnp.maximum(k - 1, 0)),
+                                    _Z, _Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nz, nz, B), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(K, ev, reg[None], P)
+    return Sinv, Wc_full[: S - 1], ucols
+
+
+def _fwd_se_kernel(rows, Sinv_ref, ev_ref, r_ref, Pc_ref, y_ref,
+                   ycarry):
+    k = pl.program_id(0)
+    rk = r_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        y = _bmv(Sinv_ref[0], rk)
+        y_ref[0] = y
+        ycarry[...] = y
+
+    @pl.when(k > 0)
+    def _():
+        ev = ev_ref[0]                              # stage k-1 values
+        yc = ycarry[...]
+        # yhat = r_k - E'_{k-1} y_{k-1}: per-entry contributions
+        # t[j] = ev_j * y_{k-1}[rows_j] placed at row cols[j] via the
+        # one-hot matrix P_c [nnzp, nz] (input — Mosaic has neither
+        # scatter nor captured-constant support; picks are slices, not
+        # scalar indexing, which would lower to a gather):
+        # sub = sum_j P_c[j] * t[j].
+        t = jnp.concatenate(
+            [ev[j:j + 1, :] * yc[rows[j]:rows[j] + 1, :]
+             for j in range(len(rows))], axis=0
+        )                                           # [nnz, B]
+        Pc = Pc_ref[...]                            # [nnzp, nz]
+        # partial-slice + newaxis getitem lowers via gather in Mosaic;
+        # slice first, expand_dims (reshape) second.
+        Pc_sl = jax.lax.slice_in_dim(Pc, 0, len(rows), axis=0)
+        sub = jnp.sum(jnp.expand_dims(Pc_sl, 2) * t[:, None, :],
+                      axis=0)
+        y = _bmv(Sinv_ref[0], rk - sub)
+        y_ref[0] = y
+        ycarry[...] = y
+
+
+def _bwd_se_kernel(ucols, Wc_ref, y_ref, x_ref, xcarry):
+    k = pl.program_id(0)   # walks 0..S-1; stage = S-1-k
+
+    @pl.when(k == 0)
+    def _():
+        x = y_ref[0]
+        x_ref[0] = x
+        xcarry[...] = x
+
+    @pl.when(k > 0)
+    def _():
+        xc = xcarry[...]
+        Wc = Wc_ref[0]
+        acc = y_ref[0]
+        for c_i, c in enumerate(ucols):
+            # slice picks (scalar indexing would lower to a gather)
+            acc = acc - jnp.squeeze(Wc[:, c_i:c_i + 1, :], axis=1) \
+                * xc[c:c + 1, :]
+        x_ref[0] = acc
+        xcarry[...] = acc
+
+
+def solve_batched_se(Sinv, Wc, ev, r, rows, cols, ucols, *,
+                     interpret: bool = False):
+    """Solve T x = r given `factor_batched_se` output; r [S, nz, B]."""
+    S, nz, _, B = Sinv.shape
+    Cp = Wc.shape[2]
+    dt = Sinv.dtype
+    r = r.astype(dt)
+    rows = [int(r_) for r_ in rows]
+    cols = [int(c) for c in cols]
+
+    nnz = ev.shape[1]
+    nnzp = _round_up(nnz, 8)
+    ev_pad = jnp.pad(ev.astype(dt), ((1, 0), (0, nnzp - nnz), (0, 0)))
+    Pc_np = np.zeros((nnzp, nz), np.float64)
+    for j in range(nnz):
+        Pc_np[j, cols[j]] = 1.0
+    Pc = jnp.asarray(Pc_np, dt)
+
+    vblk = (1, nz, B)
+    y = pl.pallas_call(
+        functools.partial(_fwd_se_kernel, rows),
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, nz, nz, B), _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nnzp, B), _map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(vblk, _map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nnzp, nz), lambda k: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vblk, _map3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nz, B), dt),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt)],
+        interpret=interpret,
+    )(Sinv, ev_pad, r, Pc)
+
+    Wc_pad = jnp.concatenate([Wc, jnp.zeros((1, nz, Cp, B), dt)], axis=0)
+    x = pl.pallas_call(
+        functools.partial(_bwd_se_kernel, ucols),
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, nz, Cp, B),
+                         lambda k: (_i32(S - 1 - k), _Z, _Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vblk, lambda k: (_i32(S - 1 - k), _Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vblk,
+                               lambda k: (_i32(S - 1 - k), _Z, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nz, B), dt),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt)],
+        interpret=interpret,
+    )(Wc_pad, y)
     return x
 
 
