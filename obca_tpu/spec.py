@@ -259,7 +259,10 @@ def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
         delta_w=jnp.asarray(1e-7),
         delta_c=jnp.asarray(1e-7),
         delta_factor=jnp.asarray(1e-4),
-        refine_iters=10,
+        # GCR depth 4: measured on-chip (r3 knob sweep) — m=10 and m=4
+        # both converge 128/128 with identical ~8e-4 golden parity;
+        # m=4 is ~18% faster end to end (103.9 vs 84.5 solves/s).
+        refine_iters=4,
         max_iter=max_iter,
     )
     kw.update(overrides)
@@ -279,6 +282,10 @@ def parallel_fastpath_config(max_iter: int = 250,
         soc=True,
         tol=3e-5,
         mu_min=jnp.asarray(1e-7),
+        # Deeper GCR than the reverse-parking default (4): at the f32
+        # barrier floor this family's basin tracking needs the more
+        # faithful directions (m=4 drifts off the golden basin).
+        refine_iters=10,
         max_iter=max_iter,
     )
     kw.update(overrides)
