@@ -47,6 +47,15 @@ def main():
     if wall:
         rep["total_solve_wall_s"] = round(wall, 2)
         rep["solves_per_s"] = round(status.size / wall, 2)
+        # Steady-state throughput: the first shard pays the XLA
+        # compile; later shards reuse the cached executable.
+        if len(solve_recs) > 1:
+            tail = solve_recs[1:]
+            tail_n = sum(r["n"] for r in tail)
+            tail_w = sum(r["wall_s"] for r in tail)
+            rep["solves_per_s_steady"] = round(tail_n / tail_w, 2)
+            rep["first_shard_compile_wall_s"] = round(
+                solve_recs[0]["wall_s"], 2)
     print(json.dumps(rep))
 
 

@@ -1,7 +1,7 @@
 """Batched randomized scenario sweep (BASELINE config 4: 1024 scenarios),
 sharded over the local device mesh, with shard-level checkpoint/resume.
 
-    python bench/run_sweep.py --batch 1024 --shard-size 256 \
+    python bench/run_sweep.py --batch 1024 --shard-size 128 \
         --out /tmp/sweep --config mixed
 
 Each shard's results are written to ``<out>/shard_{i:04d}.npz`` as soon
@@ -22,7 +22,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--shard-size", type=int, default=256)
+    ap.add_argument("--shard-size", type=int, default=128)
     ap.add_argument("--N", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
@@ -60,6 +60,9 @@ def main():
 
     n_shards = -(-args.batch // shard_size)
     done = total_conv = 0
+    # One cached jitted runner for every shard (shards share shapes; a
+    # per-shard jit closure would re-trace each time — ADVICE r2).
+    runner = mesh_mod.make_sharded_solver(pipeline, mesh)
     t_start = time.perf_counter()
     for i in range(n_shards):
         path = os.path.join(args.out, f"shard_{i:04d}.npz")
@@ -69,7 +72,7 @@ def main():
         specs = _common.scenario_batch(base, shard_size,
                                        seed=args.seed + i)
         t0 = time.perf_counter()
-        res, metrics = mesh_mod.solve_sharded_fn(pipeline, specs, mesh)
+        res, metrics = runner(specs)
         jax.block_until_ready(res.U)
         dt = time.perf_counter() - t0
         summary = _common.result_summary(res)

@@ -43,18 +43,19 @@ def shift_warm_start(L, W, spec):
     return W_s
 
 
-def _cold_duals(spec: ProblemSpec, cfg: SolverConfig, W0):
-    """Cold dual state for the first re-solve: the solver's own warm-
-    start initialization (incl. the least-squares equality-multiplier
-    estimate), evaluated once."""
-    state0, _step, _L, _fc = ipm._make_step(spec, cfg, W0)
-    return ipm.DualState(nu=state0.nu, s=state0.s, zL=state0.zL,
-                         zU=state0.zU)
-
-
 def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
-        W0=None, duals0=None, disturbance=None):
+        W0=None, duals0=None, disturbance=None,
+        resolve_mu: float = 1e-4, resolve_max_iter: int = 60):
     """Closed-loop MPC from spec.x0 for n_steps control periods.
+
+    The *initial* plan solves with the caller's full barrier schedule;
+    every subsequent 10 Hz re-solve starts from the shifted previous
+    solution (primal + duals) at the near-final barrier ``resolve_mu``
+    with the tight cap ``resolve_max_iter`` — the shifted plan is
+    near-optimal for the one-step-advanced problem, so restarting the
+    barrier at mu_init = 0.1 (the r3 failure: 572 ms/step, 73% step
+    convergence) wastes ~40 iterations per step re-deriving what the
+    previous solve already knew.
 
     W0/duals0: warm start; pass the previous plan's `SolveResult.W` and
     `SolveResult.duals` when available (full Ipopt-style dual warm
@@ -73,13 +74,33 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
     if disturbance is None:
         disturbance = jnp.zeros((n_steps, 4), dt)
 
+    cfg_warm = dataclasses.replace(
+        cfg, mu_init=jnp.asarray(resolve_mu, jnp.float32).astype(
+            cfg.mu_init.dtype),
+        max_iter=resolve_max_iter,
+    )
+
+    # Initial plan: full barrier from the caller's warm start.
+    res0 = ipm.solve_single(spec, cfg, W0, duals0=duals0)
+    ok0 = res0.status == ipm.STATUS_CONVERGED
+    W_plan = jnp.where(ok0, res0.W, W0)
+
     def mpc_step(carry, dist_k):
-        x, W_prev, duals_prev, u_fallback = carry
-        spec_k = dataclasses.replace(spec, x0=x.astype(spec.x0.dtype))
+        x, u_prev, W_prev, duals_prev, u_fallback = carry
+        # u_prev is the control applied in the previous period — the
+        # stage-0 input-rate rows must reference it, not the original
+        # spec.u_prev (keeping the stale value made the shifted warm
+        # start rate-infeasible after every step: the r3 MPC bench's
+        # 20% step-failure tail).
+        spec_k = dataclasses.replace(
+            spec, x0=x.astype(spec.x0.dtype),
+            u_prev=u_prev.astype(spec.u_prev.dtype),
+        )
         # Re-anchor the shifted warm start's first state at the
         # measured state.
         W_ws = W_prev.at[0, L.sl_x].set(x)
-        res = ipm.solve_single(spec_k, cfg, W_ws, duals0=duals_prev)
+        res = ipm.solve_single(spec_k, cfg_warm, W_ws,
+                               duals0=duals_prev)
         ok = res.status == ipm.STATUS_CONVERGED
         u0 = jnp.where(ok, res.U[0], u_fallback)
         # plant step (same model; disturbance models mismatch)
@@ -96,17 +117,16 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
             res.duals, duals_prev,
         )
         u_fb_next = jnp.where(ok, res.U[1], u_fallback)
-        return (x_next, W_next, duals_next, u_fb_next), (
+        return (x_next, u0, W_next, duals_next, u_fb_next), (
             x_next, u0, res.status, res.iters, res.err
         )
 
     x0 = spec.x0.astype(dt)
-    u_fb0 = W0[0, L.sl_u]
-    if duals0 is None:
-        duals0 = _cold_duals(spec, cfg, W0)
-    duals0 = jax.tree.map(lambda a: a.astype(dt), duals0)
-    (_, _, _, _), (xs, us, status, iters, err) = jax.lax.scan(
-        mpc_step, (x0, W0, duals0, u_fb0), disturbance
+    u_fb0 = W_plan[0, L.sl_u]
+    duals_init = jax.tree.map(lambda a: a.astype(dt), res0.duals)
+    (_, _, _, _, _), (xs, us, status, iters, err) = jax.lax.scan(
+        mpc_step, (x0, spec.u_prev.astype(dt), W_plan, duals_init,
+                   u_fb0), disturbance
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return MpcResult(states=states, controls=us, status=status,

@@ -10,7 +10,7 @@ mkdir -p bench/out
 # metrics + aggregate report are committed).
 SWEEP_DIR=${SWEEP_DIR:-/tmp/obca_sweep_r3}
 rm -rf "$SWEEP_DIR"
-timeout 2400 python bench/run_sweep.py --batch 1024 --shard-size 256 \
+timeout 2400 python bench/run_sweep.py --batch 1024 --shard-size 128 \
     --config f32 --out "$SWEEP_DIR"
 cp "$SWEEP_DIR/metrics.jsonl" bench/out/sweep_metrics.jsonl
 python bench/report.py "$SWEEP_DIR" > bench/out/sweep_report.json
