@@ -28,11 +28,24 @@ def main():
     err = np.concatenate(err).astype(np.float64)
 
     wall = None
+    rescue_wall = 0.0
+    rescue = {}
     mpath = os.path.join(out, "metrics.jsonl")
     if os.path.exists(mpath):
         recs = [json.loads(l) for l in open(mpath)]
         solve_recs = [r for r in recs if "wall_s" in r and "shard" in r]
-        wall = sum(r["wall_s"] for r in solve_recs)
+        # The global rescue pass is part of the sweep's solve cost.
+        rescue_recs = [r for r in recs if r.get("event") == "rescue"]
+        rescue_wall = sum(r["wall_s"] for r in rescue_recs)
+        if rescue_recs:
+            rescue = {
+                "rescue_wall_s": round(rescue_wall, 3),
+                "rescue_n_failed": sum(r["n_failed"]
+                                       for r in rescue_recs),
+                "rescue_n_recovered": sum(r["n_recovered"]
+                                          for r in rescue_recs),
+            }
+        wall = sum(r["wall_s"] for r in solve_recs) + rescue_wall
 
     rep = {
         "shards": len(shards),
@@ -43,16 +56,20 @@ def main():
         "iters_p95": float(np.percentile(iters, 95)),
         "kkt_err_max_converged": float(err[status == 0].max())
         if (status == 0).any() else None,
+        "iters_max": int(iters.max()),
     }
+    rep.update(rescue)
     if wall:
         rep["total_solve_wall_s"] = round(wall, 2)
         rep["solves_per_s"] = round(status.size / wall, 2)
         # Steady-state throughput: the first shard pays the XLA
-        # compile; later shards reuse the cached executable.
+        # compile; later shards reuse the cached executable.  The
+        # rescue pass is amortized into the steady figure (it runs
+        # once per sweep, over all shards' failures).
         if len(solve_recs) > 1:
             tail = solve_recs[1:]
             tail_n = sum(r["n"] for r in tail)
-            tail_w = sum(r["wall_s"] for r in tail)
+            tail_w = sum(r["wall_s"] for r in tail) + rescue_wall
             rep["solves_per_s_steady"] = round(tail_n / tail_w, 2)
             rep["first_shard_compile_wall_s"] = round(
                 solve_recs[0]["wall_s"], 2)

@@ -1,10 +1,14 @@
 """Receding-horizon MPC benchmark (BASELINE config 5: 10 Hz replanning).
 
-    python bench/run_mpc.py --rollouts 64 --steps 30 --config mixed
+    python bench/run_mpc.py --rollouts 128 --steps 30 --config f32
 
 Runs `rollouts` closed-loop MPC simulations (vmapped — one XLA program)
 and reports achieved replan rate: the wall time per MPC step across the
 whole fleet must beat the 100 ms control period for a 10 Hz claim.
+
+Fleet size defaults to 128 — the Pallas lane width.  The r3 recording
+at 64 rollouts burned 50% of every kernel invocation on padding lanes
+(VERDICT r3 weak #3).
 """
 
 import argparse
@@ -18,13 +22,16 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rollouts", type=int, default=64)
+    ap.add_argument("--rollouts", type=int, default=128)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--N", type=int, default=80)
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
                     default="f32")
     ap.add_argument("--max-iter", type=int, default=70)
+    ap.add_argument("--resolve-max-iter", type=int, default=30)
+    ap.add_argument("--resolve-mu", type=float, default=1e-5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-single", action="store_true")
     args = ap.parse_args()
 
     from obca_tpu import mpc
@@ -44,45 +51,53 @@ def main():
         # One planner field for the fleet (start-independent); each
         # rollout extracts its own initial path from it.
         field = lattice.plan_field(base, lcfg)
-
-        def one(sp):
-            W0 = geometric.lattice_warm_start(sp, dtype=cfg.dtype,
-                                              field=field)
-            return mpc.run(sp, cfg, args.steps, W0=W0)
-
-        return jax.vmap(one)(specs)
+        W0 = jax.vmap(
+            lambda sp: geometric.lattice_warm_start(sp, dtype=cfg.dtype,
+                                                    field=field)
+        )(specs)
+        return mpc.run_fleet(specs, cfg, args.steps, W0,
+                             resolve_mu=args.resolve_mu,
+                             resolve_max_iter=args.resolve_max_iter)
 
     res = jax.block_until_ready(fleet(specs))   # compile + warmup
     t0 = time.perf_counter()
     res = jax.block_until_ready(fleet(specs))
     wall = time.perf_counter() - t0
 
-    # Per-rollout (non-amortized) replan latency: the same closed loop
-    # at fleet size 1 — the real-time budget a single vehicle sees
-    # (BASELINE config 5: 100 ms @ 10 Hz).
-    specs1 = jax.tree.map(lambda a: a[:1], specs)
-    res1 = jax.block_until_ready(fleet(specs1))  # compile + warmup
-    t0 = time.perf_counter()
-    res1 = jax.block_until_ready(fleet(specs1))
-    wall1 = time.perf_counter() - t0
-
-    st = np.asarray(res.status)                 # [R, T]
-    per_step_ms = wall / args.steps * 1e3
-    print(json.dumps({
+    out = {
         "rollouts": args.rollouts,
         "steps": args.steps,
         "N": args.N,
         "config": args.config,
         "wall_s": round(wall, 3),
-        "ms_per_mpc_step_fleet": round(per_step_ms, 2),
-        "ms_per_mpc_step_single": round(wall1 / args.steps * 1e3, 2),
+        "ms_per_mpc_step_fleet": round(wall / args.steps * 1e3, 2),
         "achieved_hz_fleet": round(args.steps / wall, 2),
-        "achieved_hz_single": round(args.steps / wall1, 2),
         "solves_per_s": round(args.rollouts * args.steps / wall, 1),
-        "step_convergence_rate": float((st == 0).mean()),
-        "step_convergence_rate_single":
-            float((np.asarray(res1.status) == 0).mean()),
-    }))
+        "initial_plan_convergence_rate":
+            float((np.asarray(res.status0) == 0).mean()),
+        "step_convergence_rate":
+            float((np.asarray(res.status) == 0).mean()),
+        "resolve_iters_p50": float(np.median(np.asarray(res.iters))),
+        "resolve_iters_max": int(np.asarray(res.iters).max()),
+    }
+
+    if not args.skip_single:
+        # Per-rollout (non-amortized) replan latency: the same closed
+        # loop at fleet size 1 — the real-time budget a single vehicle
+        # sees (BASELINE config 5: 100 ms @ 10 Hz).
+        specs1 = jax.tree.map(lambda a: a[:1], specs)
+        res1 = jax.block_until_ready(fleet(specs1))  # compile + warmup
+        t0 = time.perf_counter()
+        res1 = jax.block_until_ready(fleet(specs1))
+        wall1 = time.perf_counter() - t0
+        out.update({
+            "ms_per_mpc_step_single": round(wall1 / args.steps * 1e3, 2),
+            "achieved_hz_single": round(args.steps / wall1, 2),
+            "step_convergence_rate_single":
+                float((np.asarray(res1.status) == 0).mean()),
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

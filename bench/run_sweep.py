@@ -1,16 +1,26 @@
-"""Batched randomized scenario sweep (BASELINE config 4: 1024 scenarios),
-sharded over the local device mesh, with shard-level checkpoint/resume.
+"""Batched randomized scenario sweep (BASELINE config 4: 1024 scenarios
+with randomized initial poses AND obstacle layouts), sharded over the
+local device mesh, with shard-level checkpoint/resume.
 
     python bench/run_sweep.py --batch 1024 --shard-size 128 \
-        --out /tmp/sweep --config mixed
+        --out /tmp/sweep --config f32
 
 Each shard's results are written to ``<out>/shard_{i:04d}.npz`` as soon
 as it finishes; re-running skips completed shards (SURVEY.md §5
 checkpoint/resume — solves are stateless, so resume = skip).  Metrics
 stream to ``<out>/metrics.jsonl``.
+
+Structure (r4 redesign): shards run the *pass-1* batched solve only;
+the neighbor-seeded rescue pass runs ONCE at the end over the failed
+lanes of the whole sweep, gathered into a single lane-multiple batch
+with globally-nearest (geometry-aware) converged donors.  The r3
+per-shard rescue re-ran a ~full-depth batched while_loop for every
+shard even when only 1-3 lanes needed it — a fixed ~40% tax per shard
+(VERDICT r3 missing #3: 33 steady solves/s vs the 102 headline).
 """
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -28,12 +38,20 @@ def main():
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
                     default="f32")
     ap.add_argument("--max-iter", type=int, default=70)
+    ap.add_argument("--layouts", type=int, default=8,
+                    help="obstacle layouts per shard (lanes grouped)")
+    ap.add_argument("--pose-only", action="store_true",
+                    help="r3 behavior: randomize poses, share one "
+                         "obstacle layout + planner field")
+    ap.add_argument("--rescue-mu", type=float, default=1e-5)
     ap.add_argument("--out", default="/tmp/obca_sweep")
     args = ap.parse_args()
 
-    from obca_tpu.parallel import mesh as mesh_mod
+    import jax.numpy as jnp
+
     from obca_tpu.solver import ipm
-    from obca_tpu.spec import reverse_parking_spec
+    from obca_tpu.spec import (randomized_reverse_parking_specs,
+                               reverse_parking_spec)
     from obca_tpu.warmstart import geometric, lattice
 
     os.makedirs(args.out, exist_ok=True)
@@ -42,53 +60,150 @@ def main():
     cfg = _common.solver_config(args.config, args.max_iter)
     base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N,
                                 dtype=cfg.dtype)
-    mesh = mesh_mod.scenario_mesh()
-    n_dev = len(mesh.devices.ravel())
-    shard_size = max(args.shard_size // n_dev * n_dev, n_dev)
-
-    # The lattice planner field depends only on (obstacles, goal):
-    # computed once on the host spec, shared by every scenario.
-    field = lattice.plan_field(base, lattice.LatticeConfig.for_spec(base))
-
-    def pipeline(specs):
-        W0 = jax.vmap(
-            lambda sp: geometric.lattice_warm_start(sp, dtype=cfg.dtype,
-                                                    field=field)
-        )(specs)
-        # Neighbor-seeded rescue pass for bad-basin lanes.
-        return ipm.solve_batch_rescued(specs, cfg, W0)
-
+    lcfg = lattice.LatticeConfig.for_spec(base)
+    shard_size = args.shard_size
     n_shards = -(-args.batch // shard_size)
-    done = total_conv = 0
-    # One cached jitted runner for every shard (shards share shapes; a
-    # per-shard jit closure would re-trace each time — ADVICE r2).
-    runner = mesh_mod.make_sharded_solver(pipeline, mesh)
+
+    def shard_specs(i):
+        """Deterministic shard generation — shared by the solve loop
+        and the rescue gather (resume re-generates identical specs)."""
+        if args.pose_only:
+            specs = _common.scenario_batch(base, shard_size,
+                                           seed=args.seed + i)
+            return specs, None
+        specs, layouts, _ = randomized_reverse_parking_specs(
+            shard_size, n_layouts=args.layouts, seed=args.seed + i,
+            N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype)
+        return specs, layouts
+
+    shared_field = None
+    if args.pose_only:
+        shared_field = lattice.plan_field(base, lcfg)
+
+    @jax.jit
+    def run_shard(specs, layouts):
+        if args.pose_only:
+            W0 = jax.vmap(
+                lambda sp: geometric.lattice_warm_start(
+                    sp, dtype=cfg.dtype, field=shared_field)
+            )(specs)
+        else:
+            W0 = geometric.grouped_lattice_warm_start(
+                specs, layouts, lcfg, dtype=cfg.dtype)
+        return ipm.solve_batch(specs, cfg, W0)
+
+    def save_shard(path, res):
+        np.savez(
+            path,
+            X=np.asarray(res.X), U=np.asarray(res.U),
+            W=np.asarray(res.W),
+            status=np.asarray(res.status), iters=np.asarray(res.iters),
+            err=np.asarray(res.err), obj=np.asarray(res.obj),
+            nu=np.asarray(res.duals.nu), s=np.asarray(res.duals.s),
+            zL=np.asarray(res.duals.zL), zU=np.asarray(res.duals.zU),
+        )
+
     t_start = time.perf_counter()
     for i in range(n_shards):
         path = os.path.join(args.out, f"shard_{i:04d}.npz")
         if os.path.exists(path):
-            done += 1
             continue
-        specs = _common.scenario_batch(base, shard_size,
-                                       seed=args.seed + i)
+        specs, layouts = shard_specs(i)
         t0 = time.perf_counter()
-        res, metrics = runner(specs)
+        res = run_shard(specs, layouts)
         jax.block_until_ready(res.U)
         dt = time.perf_counter() - t0
         summary = _common.result_summary(res)
-        total_conv += summary["converged"]
-        np.savez(
-            path,
-            X=np.asarray(res.X), U=np.asarray(res.U),
-            status=np.asarray(res.status), iters=np.asarray(res.iters),
-            err=np.asarray(res.err), obj=np.asarray(res.obj),
-        )
+        save_shard(path, res)
         log(dict(shard=i, wall_s=round(dt, 3),
                  solves_per_s=round(shard_size / dt, 2), **summary))
-        done += 1
+
+    # ------------------------------------------------------------------
+    # Global rescue pass: gather every failed lane of the sweep into ONE
+    # lane-multiple batch, seed each from its globally-nearest converged
+    # donor (geometry-aware feature metric — ipm.donor_features), solve
+    # once at the near-final barrier.
+    # ------------------------------------------------------------------
+    shards = [np.load(os.path.join(args.out, f"shard_{i:04d}.npz"))
+              for i in range(n_shards)]
+    status = np.concatenate([z["status"] for z in shards])
+    failed = np.flatnonzero(status != 0)
+    conv = np.flatnonzero(status == 0)
+    if failed.size and conv.size:
+        t0 = time.perf_counter()
+        all_specs = [shard_specs(i)[0] for i in range(n_shards)]
+        specs_flat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *all_specs)
+        feats = np.asarray(ipm.donor_features(specs_flat))
+        d2 = ((feats[failed][:, None, :]
+               - feats[conv][None, :, :]) ** 2).sum(-1)
+        donors = conv[np.argmin(d2, axis=1)]          # [F] global ids
+
+        def gather(name):
+            arr = np.concatenate([z[name] for z in shards])
+            return arr
+
+        W_all = gather("W")
+        duals_all = {k: gather(k) for k in ("nu", "s", "zL", "zU")}
+
+        # Pad the rescue batch to the shard size (one compiled shape).
+        R = shard_size
+        idx = np.resize(failed, R)        # repeats if fewer than R
+        didx = np.resize(donors, R)
+        specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
+                               specs_flat)
+        W_seed = jnp.asarray(W_all[didx], cfg.dtype)
+        duals_seed = ipm.DualState(
+            nu=jnp.asarray(duals_all["nu"][didx], cfg.dtype),
+            s=jnp.asarray(duals_all["s"][didx], cfg.dtype),
+            zL=jnp.asarray(duals_all["zL"][didx], cfg.dtype),
+            zU=jnp.asarray(duals_all["zU"][didx], cfg.dtype),
+        )
+        cfg2 = dataclasses.replace(
+            cfg, mu_init=jnp.asarray(args.rescue_mu,
+                                     cfg.mu_init.dtype))
+
+        @jax.jit
+        def rescue(sp, w, d):
+            return jax.vmap(
+                lambda s_, w_, d_: ipm.solve_single(s_, cfg2, w_,
+                                                    duals0=d_)
+            )(sp, w, d)
+
+        res_r = rescue(specs_r, W_seed, duals_seed)
+        jax.block_until_ready(res_r.U)
+        dt = time.perf_counter() - t0
+
+        # Scatter back (first occurrence of each failed lane wins).
+        st_r = np.asarray(res_r.status)
+        recovered = 0
+        for j, lane in enumerate(idx[: failed.size]):
+            si, li = divmod(int(lane), shard_size)
+            if st_r[j] != 0:
+                continue
+            recovered += 1
+            z = dict(np.load(
+                os.path.join(args.out, f"shard_{si:04d}.npz")))
+            take = jax.tree.map(lambda a: a[j], res_r)
+            z["X"][li] = np.asarray(take.X)
+            z["U"][li] = np.asarray(take.U)
+            z["W"][li] = np.asarray(take.W)
+            z["status"][li] = int(take.status)
+            z["iters"][li] += int(take.iters)
+            z["err"][li] = float(take.err)
+            z["obj"][li] = float(take.obj)
+            z["nu"][li] = np.asarray(take.duals.nu)
+            z["s"][li] = np.asarray(take.duals.s)
+            z["zL"][li] = np.asarray(take.duals.zL)
+            z["zU"][li] = np.asarray(take.duals.zU)
+            np.savez(os.path.join(args.out, f"shard_{si:04d}.npz"),
+                     **z)
+        log(dict(event="rescue", wall_s=round(dt, 3),
+                 n_failed=int(failed.size), n_recovered=recovered,
+                 rescue_iters_max=int(np.asarray(res_r.iters).max())))
 
     wall = time.perf_counter() - t_start
-    log(dict(event="sweep_done", shards=done,
+    log(dict(event="sweep_done", shards=n_shards,
              batch=n_shards * shard_size, wall_s=round(wall, 2)))
 
 

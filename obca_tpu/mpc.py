@@ -5,8 +5,13 @@ the new framework's real-time execution layer (SURVEY.md §3.4 'MPC
 entry'): at each control period the OCP is re-solved from the measured
 state, warm-started by *shifting* the previous solution one stage
 (primal and dual), and the first control is applied.  On solver failure
-the previous solution's next control is used as a fallback (SURVEY.md
-§5 failure detection — stateless degradation, no crash).
+the loop degrades statelessly (SURVEY.md §5 failure detection — no
+crash): the *stale plan's* control for the current period is applied
+and the stale plan keeps being shifted so it stays time-aligned.  The
+r3 design kept the un-shifted stale plan and replayed one frozen
+fallback control forever, so a single failed re-solve drove the state
+off every plan and the failure became sticky — the recorded 28%
+step-failure tail (`bench/out/mpc_n80.json`, r3).
 
 The whole closed loop is a `lax.scan`, so an entire MPC rollout — and,
 vmapped, thousands of scenario rollouts — compiles to a single XLA
@@ -32,34 +37,41 @@ class MpcResult(NamedTuple):
     status: jax.Array      # [T] solver status per step
     iters: jax.Array       # [T]
     err: jax.Array         # [T]
+    status0: jax.Array     # [] initial full-barrier plan status
+    iters0: jax.Array      # [] initial plan iterations
 
 
-def shift_warm_start(L, W, spec):
-    """Shift a solved trajectory one stage for the next solve's warm
-    start: stage k <- k+1, last stage duplicated (the classic MPC
-    shift, including the OBCA duals — the reference's DualMultWS role
-    is inherited from the previous solution)."""
-    W_s = jnp.concatenate([W[1:], W[-1:]], axis=0)
-    return W_s
+def shift_plan(W):
+    """Shift a trajectory one stage for the next solve's warm start:
+    stage k <- k+1, last stage duplicated (the classic MPC shift,
+    including the OBCA duals — the reference's DualMultWS role is
+    inherited from the previous solution)."""
+    return jnp.concatenate([W[1:], W[-1:]], axis=0)
 
 
 def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         W0=None, duals0=None, disturbance=None,
-        resolve_mu: float = 1e-4, resolve_max_iter: int = 60):
+        resolve_mu: float = 1e-5, resolve_max_iter: int = 30,
+        res0: ipm.SolveResult | None = None):
     """Closed-loop MPC from spec.x0 for n_steps control periods.
 
-    The *initial* plan solves with the caller's full barrier schedule;
-    every subsequent 10 Hz re-solve starts from the shifted previous
-    solution (primal + duals) at the near-final barrier ``resolve_mu``
-    with the tight cap ``resolve_max_iter`` — the shifted plan is
-    near-optimal for the one-step-advanced problem, so restarting the
-    barrier at mu_init = 0.1 (the r3 failure: 572 ms/step, 73% step
-    convergence) wastes ~40 iterations per step re-deriving what the
-    previous solve already knew.
+    The *initial* plan solves with the caller's full barrier schedule
+    (or is taken from ``res0`` — fleet drivers precompute it with the
+    batched rescue pass, see :func:`run_fleet`); every subsequent 10 Hz
+    re-solve starts from the shifted previous solution (primal + duals)
+    at the near-final barrier ``resolve_mu`` with the tight cap
+    ``resolve_max_iter``.  The shifted plan is near-optimal for the
+    one-step-advanced problem — with an exact plant model the re-solve
+    is a handful of centering iterations, so the barrier restarts at
+    1e-5 (within the f32 convergence window ``mu <= 10 mu_min``), not
+    at mu_init = 0.1 (the r3 failure: 572 ms/step re-deriving what the
+    previous solve already knew).
 
-    W0/duals0: warm start; pass the previous plan's `SolveResult.W` and
-    `SolveResult.duals` when available (full Ipopt-style dual warm
-    start) — cold duals are derived from W0 otherwise.
+    W0/duals0: warm start for the initial plan.  If the initial plan
+    fails, the loop starts from ``W0`` with the solver's *cold* dual
+    initialization (a failed solve's duals paired with W0 is an
+    inconsistent primal/dual pair — ADVICE r3); its status is surfaced
+    as ``MpcResult.status0``.
     disturbance: optional [n_steps, 4] additive state perturbations
     (applied after the plant step — simulates model mismatch).
     """
@@ -80,18 +92,25 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         max_iter=resolve_max_iter,
     )
 
-    # Initial plan: full barrier from the caller's warm start.
-    res0 = ipm.solve_single(spec, cfg, W0, duals0=duals0)
+    # Initial plan: full barrier from the caller's warm start (unless
+    # the fleet driver already solved it, rescue pass included).
+    if res0 is None:
+        res0 = ipm.solve_single(spec, cfg, W0, duals0=duals0)
     ok0 = res0.status == ipm.STATUS_CONVERGED
-    W_plan = jnp.where(ok0, res0.W, W0)
+    W_plan = jnp.where(ok0, res0.W.astype(dt), W0)
+    cold = ipm.cold_dual_state(spec, cfg, W0)
+    duals_init = jax.tree.map(
+        lambda a, b: jnp.where(ok0, a.astype(dt), b.astype(dt)),
+        res0.duals, cold,
+    )
 
     def mpc_step(carry, dist_k):
-        x, u_prev, W_prev, duals_prev, u_fallback = carry
+        x, u_prev, W_prev, duals_prev = carry
         # u_prev is the control applied in the previous period — the
         # stage-0 input-rate rows must reference it, not the original
         # spec.u_prev (keeping the stale value made the shifted warm
-        # start rate-infeasible after every step: the r3 MPC bench's
-        # 20% step-failure tail).
+        # start rate-infeasible after every step: part of the r3 MPC
+        # bench's step-failure tail).
         spec_k = dataclasses.replace(
             spec, x0=x.astype(spec.x0.dtype),
             u_prev=u_prev.astype(spec.u_prev.dtype),
@@ -102,32 +121,58 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         res = ipm.solve_single(spec_k, cfg_warm, W_ws,
                                duals0=duals_prev)
         ok = res.status == ipm.STATUS_CONVERGED
-        u0 = jnp.where(ok, res.U[0], u_fallback)
+        # Failure fallback: the stale plan's control for *this* period
+        # (stage 0 of the time-aligned previous plan).
+        u0 = jnp.where(ok, res.U[0], W_prev[0, L.sl_u])
         # plant step (same model; disturbance models mismatch)
         x_next = dynamics.step(
             x, u0, res.tau, spec.Ts, spec.wheelbase
         ) + dist_k
 
-        def shift(arr):
-            return jnp.concatenate([arr[1:], arr[-1:]], axis=0)
-
-        W_next = jnp.where(ok, shift_warm_start(L, res.W, spec), W_prev)
+        # Shift whichever plan was executed — the fresh solution when
+        # the re-solve converged, the stale plan otherwise — so the
+        # carried plan always has stage 0 == next control period.
+        W_next = shift_plan(jnp.where(ok, res.W, W_prev))
         duals_next = jax.tree.map(
-            lambda new, old: jnp.where(ok, shift(new), old),
+            lambda new, old: shift_plan(jnp.where(ok, new, old)),
             res.duals, duals_prev,
         )
-        u_fb_next = jnp.where(ok, res.U[1], u_fallback)
-        return (x_next, u0, W_next, duals_next, u_fb_next), (
+        return (x_next, u0, W_next, duals_next), (
             x_next, u0, res.status, res.iters, res.err
         )
 
     x0 = spec.x0.astype(dt)
-    u_fb0 = W_plan[0, L.sl_u]
-    duals_init = jax.tree.map(lambda a: a.astype(dt), res0.duals)
-    (_, _, _, _, _), (xs, us, status, iters, err) = jax.lax.scan(
-        mpc_step, (x0, spec.u_prev.astype(dt), W_plan, duals_init,
-                   u_fb0), disturbance
+    (_, _, _, _), (xs, us, status, iters, err) = jax.lax.scan(
+        mpc_step, (x0, spec.u_prev.astype(dt), W_plan, duals_init),
+        disturbance,
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return MpcResult(states=states, controls=us, status=status,
-                     iters=iters, err=err)
+                     iters=iters, err=err, status0=res0.status,
+                     iters0=res0.iters)
+
+
+def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
+              W0, disturbance=None, resolve_mu: float = 1e-5,
+              resolve_max_iter: int = 30):
+    """Fleet MPC: batched rescued initial plans + vmapped closed loops.
+
+    The initial full-barrier solves run through
+    :func:`ipm.solve_batch_rescued`, so the ~8% of randomized starts
+    whose lattice warm start lands in a bad dual basin (the r3 MPC
+    bench: those rollouts never produced a plan and failed all 30
+    steps) get the neighbor-seeded second chance before any closed
+    loop starts.  W0: [B, N+1, nw] stacked warm starts.
+    """
+    res0 = ipm.solve_batch_rescued(specs, cfg, W0)
+    if disturbance is None:
+        return jax.vmap(
+            lambda sp, w, r0: run(sp, cfg, n_steps, W0=w, res0=r0,
+                                  resolve_mu=resolve_mu,
+                                  resolve_max_iter=resolve_max_iter)
+        )(specs, W0, res0)
+    return jax.vmap(
+        lambda sp, w, r0, d: run(sp, cfg, n_steps, W0=w, res0=r0,
+                                 disturbance=d, resolve_mu=resolve_mu,
+                                 resolve_max_iter=resolve_max_iter)
+    )(specs, W0, res0, disturbance)

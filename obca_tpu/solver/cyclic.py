@@ -128,8 +128,8 @@ def factor(K, E, nw: int) -> CRFactor:
             [upd_r, jnp.zeros((Knew.shape[0] - half, nz, nz), dt)], axis=0
         )
         Knew = Knew.at[1:].add(-upd_l[: Knew.shape[0] - 1])
-        # New couplings between consecutive even stages 2k, 2k+2:
-        #   E'_k = -E_lo[k... wait bridging through odd stage 2k+1:
+        # New couplings between consecutive even stages, bridging
+        # through the eliminated odd stage 2k+1:
         #   T'[2k, 2k+2] = -E_lo[k] K_odd[k]^{-1} E_hi[k].
         Enew = -(E_lo @ AoR)[: Knew.shape[0] - 1]
         K, E = Knew, Enew

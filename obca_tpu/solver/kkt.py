@@ -112,6 +112,17 @@ def make_kkt_solver_se(nw: int, m: int, factor_dtype, residual_dtype,
     rd = residual_dtype
     rows = np.asarray(rows)
     cols = np.asarray(cols)
+    # Duplicate (row, col) pairs would have inconsistent semantics
+    # across the routes: the unbatched path places values with
+    # last-write-wins `.set`, while the lane matvec / Ruiz / Pallas
+    # kernels *accumulate*.  The OBCA coupling pattern is duplicate-
+    # free; insist on that instead of silently diverging (ADVICE r3).
+    pairs = {(int(r), int(c)) for r, c in zip(rows, cols)}
+    if len(pairs) != len(rows):
+        raise ValueError(
+            "make_kkt_solver_se: duplicate (row, col) pairs in the "
+            "coupling pattern — XLA and Pallas routes would disagree"
+        )
 
     @jax.custom_batching.custom_vmap
     def solve(K, ev, reg, rhs):
@@ -158,10 +169,7 @@ def make_kkt_solver_se(nw: int, m: int, factor_dtype, residual_dtype,
             # ONE padded copy of K (pad diag -1, padded lanes QD
             # identity); the factor adds `reg` in-kernel, the GCR
             # matvec uses the same unregularized array.
-            Kt_p, _, _ = bk.pad_system(
-                Kt, jnp.zeros((S - 1, nz, nz, B), dt), [], nzp, Bp,
-                nw=nw,
-            )
+            Kt_p = bk.pad_k(Kt, nzp, Bp, nw=nw)
             evt_p = jnp.pad(evt, ((0, 0), (0, 0), (0, Bp - B)))
             reg_p = jnp.pad(regT, ((0, nzp - nz), (0, Bp - B)))
             rt_p = jnp.pad(rt, ((0, 0), (0, nzp - nz), (0, Bp - B)))

@@ -185,6 +185,7 @@ def factor_batched(K, E, nw: int, *, interpret: bool = False):
     Sinv, W_full = pl.pallas_call(
         functools.partial(_factor_kernel, nw),
         grid=grid,
+        name="blocktri_factor",
         in_specs=[
             pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
@@ -262,6 +263,7 @@ def solve_batched(Sinv, W, E, r, *, interpret: bool = False):
     y = pl.pallas_call(
         _fwd_kernel,
         grid=(S,),
+        name="blocktri_fwd",
         in_specs=[
             pl.BlockSpec(mblk, _map4, memory_space=pltpu.VMEM),
             pl.BlockSpec(mblk, _map4, memory_space=pltpu.VMEM),
@@ -282,6 +284,7 @@ def solve_batched(Sinv, W, E, r, *, interpret: bool = False):
     x = pl.pallas_call(
         functools.partial(_bwd_kernel, S=S),
         grid=(S,),
+        name="blocktri_bwd",
         in_specs=[
             pl.BlockSpec(mblk,
                          lambda k: (_i32(S - 1 - k), _Z, _Z, _Z),
@@ -423,6 +426,7 @@ def factor_batched_se(K, ev, reg, rows, cols, nw: int, *,
     Sinv, Wc_full = pl.pallas_call(
         functools.partial(_factor_se_kernel, nw, rows, cidx, ucols, Cp),
         grid=grid,
+        name="blocktri_factor_se",
         in_specs=[
             pl.BlockSpec(blk, _map4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nnzp, B), _map3, memory_space=pltpu.VMEM),
@@ -528,6 +532,7 @@ def solve_batched_se(Sinv, Wc, ev, r, rows, cols, ucols, *,
     y = pl.pallas_call(
         functools.partial(_fwd_se_kernel, rows),
         grid=(S,),
+        name="blocktri_fwd_se",
         in_specs=[
             pl.BlockSpec((1, nz, nz, B), _map4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nnzp, B), _map3, memory_space=pltpu.VMEM),
@@ -545,6 +550,7 @@ def solve_batched_se(Sinv, Wc, ev, r, rows, cols, ucols, *,
     x = pl.pallas_call(
         functools.partial(_bwd_se_kernel, ucols),
         grid=(S,),
+        name="blocktri_bwd_se",
         in_specs=[
             pl.BlockSpec((1, nz, Cp, B),
                          lambda k: (_i32(S - 1 - k), _Z, _Z, _Z),
@@ -567,17 +573,19 @@ def solve_batched_se(Sinv, Wc, ev, r, rows, cols, ucols, *,
 # ---------------------------------------------------------------------------
 
 
-def pad_system(K, E, rhs_list, nz_pad: int, B_pad: int, nw: int = 0):
-    """Pad [.., nz, nz, B] blocks to (nz_pad, B_pad).  Padded diagonal
-    entries are set to -1 (appended at the dual end: the padded system
-    stays quasidefinite with the same nw) and padded rhs rows to 0, so
-    padded solution entries are exactly 0.  Padded *lanes* get the
-    (+1 on the first nw rows, -1 after) quasidefinite identity so the
-    factorization stays finite there (their solutions are discarded)."""
+def pad_k(K, nz_pad: int, B_pad: int, nw: int = 0):
+    """Pad diagonal blocks [.., nz, nz, B] to (nz_pad, B_pad).  Padded
+    diagonal entries are set to -1 (appended at the dual end: the padded
+    system stays quasidefinite with the same nw) and padded *lanes* get
+    the (+1 on the first nw rows, -1 after) quasidefinite identity so
+    the factorization stays finite there (their solutions are
+    discarded).  The sparse-coupling path pads K alone with this —
+    fabricating a dense zero E just to reuse :func:`pad_system` would
+    re-materialize the stream the structured path exists to avoid."""
     S, nz, _, B = K.shape
     dz, db = nz_pad - nz, B_pad - B
     if dz == 0 and db == 0:
-        return K, E, rhs_list
+        return K
     K = jnp.pad(K, ((0, 0), (0, dz), (0, dz), (0, db)))
     idx = np.arange(nz, nz_pad)
     if dz:
@@ -588,6 +596,17 @@ def pad_system(K, E, rhs_list, nz_pad: int, B_pad: int, nw: int = 0):
             K.dtype
         )
         K = K.at[:, ii, ii, B:].set(dvals[None, :, None])
+    return K
+
+
+def pad_system(K, E, rhs_list, nz_pad: int, B_pad: int, nw: int = 0):
+    """Pad a full (K, E, rhs) system: K via :func:`pad_k`, E with zeros,
+    rhs rows with 0 — padded solution entries are exactly 0."""
+    S, nz, _, B = K.shape
+    dz, db = nz_pad - nz, B_pad - B
+    if dz == 0 and db == 0:
+        return K, E, rhs_list
+    K = pad_k(K, nz_pad, B_pad, nw=nw)
     E = jnp.pad(E, ((0, 0), (0, dz), (0, dz), (0, db)))
     rhs_list = [jnp.pad(r, ((0, 0), (0, dz), (0, db))) for r in rhs_list]
     return K, E, rhs_list

@@ -9,6 +9,7 @@ OCP warm start — SURVEY.md §2.1 step 1 note): provides an initial
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from obca_tpu import nlp
@@ -72,6 +73,41 @@ def lattice_warm_start(spec, dtype=None, dual_eps=1e-2, cfg=None,
     X = jnp.where(reached, X_lat, X_rs)
     U = jnp.where(reached, U_lat, U_rs)
     return warm_start(spec, X=X, U=U, dtype=dtype, dual_eps=dual_eps)
+
+
+def grouped_lattice_warm_start(specs, layouts, lcfg, dtype=None,
+                               dual_eps=1e-2):
+    """Warm starts for a grouped randomized-obstacle batch.
+
+    ``specs`` [B] is laid out as ``n_layouts`` contiguous groups of
+    ``B / n_layouts`` lanes sharing one obstacle layout (see
+    `spec.randomized_reverse_parking_specs`); ``layouts``
+    [n_layouts] carries one representative spec per layout.  One
+    `PlanField` is computed per *layout* (vmapped — the field depends
+    only on (obstacles, goal), not the start pose), then path
+    extraction runs per lane within each group.  This is what keeps
+    obstacle-randomized sweeps affordable: per-lane fields would
+    multiply the planner cost by the group size for identical output.
+    """
+    from obca_tpu.warmstart import lattice as lattice_mod
+
+    G = layouts.x0.shape[0]
+    B = specs.x0.shape[0]
+    group = B // G
+    fields = jax.vmap(
+        lambda sp: lattice_mod.plan_field(sp, lcfg)
+    )(layouts)
+    sp_g = jax.tree.map(
+        lambda a: a.reshape((G, group) + a.shape[1:]), specs
+    )
+    W0 = jax.vmap(
+        lambda f, sps: jax.vmap(
+            lambda sp: lattice_warm_start(sp, dtype=dtype,
+                                          dual_eps=dual_eps, cfg=lcfg,
+                                          field=f)
+        )(sps)
+    )(fields, sp_g)
+    return W0.reshape((B,) + W0.shape[2:])
 
 
 def rs_warm_start(spec, dtype=None, delta_frac=0.8, dual_eps=1e-2):

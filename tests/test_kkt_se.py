@@ -19,13 +19,6 @@ NZ = NW + NC
 NNZ = 6
 
 
-def _pattern():
-    rng = np.random.default_rng(3)
-    rows = rng.integers(0, NZ, NNZ)
-    cols = rng.integers(0, NZ, NNZ)
-    return rows, cols
-
-
 def _system(rng):
     Ks = []
     for _ in range(S):
@@ -40,30 +33,24 @@ def _system(rng):
     return np.stack(Ks), ev, r
 
 
-def _dense_E(ev, rows, cols):
-    E = np.zeros((S - 1, NZ, NZ))
-    for j in range(NNZ):
-        E[:, rows[j], cols[j]] += ev[:, j]
-    return E
+def test_se_rejects_duplicate_pattern():
+    """Duplicate (row, col) pairs would make the XLA (.set) and Pallas
+    (accumulate) routes silently disagree; the builder must refuse
+    them (ADVICE r3)."""
+    rows = np.array([0, 1, 2, 0])
+    cols = np.array([3, 4, 5, 3])   # (0, 3) twice
+    with pytest.raises(ValueError, match="duplicate"):
+        kkt.make_kkt_solver_se(NW, 4, jnp.float64, jnp.float64,
+                               rows, cols, force_pallas=False)
 
 
 def test_se_unbatched_matches_dense():
-    rows, cols = _pattern()
     rng = np.random.default_rng(0)
     K, ev, r = _system(rng)
     reg = np.concatenate([np.full(NW, 1e-6), np.full(NC, -1e-6)])
 
     dense = kkt.make_kkt_solver(NW, 4, jnp.float64, jnp.float64,
                                 force_pallas=False)
-    se = kkt.make_kkt_solver_se(NW, 4, jnp.float64, jnp.float64,
-                                rows, cols, force_pallas=False)
-    # NOTE: duplicate (row, col) pairs in the random pattern sum in the
-    # scatter; build the dense E the same way.
-    E = _dense_E(ev, rows, cols)
-    d_ref, lin_ref = dense(jnp.asarray(K), jnp.asarray(E),
-                           jnp.asarray(reg), jnp.asarray(r))
-    # the unbatched se path scatters with .set (no dup accumulation);
-    # use a duplicate-free pattern for exact comparison
     rows2 = np.arange(NNZ)
     cols2 = np.arange(NNZ)[::-1].copy()
     se2 = kkt.make_kkt_solver_se(NW, 4, jnp.float64, jnp.float64,

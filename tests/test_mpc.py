@@ -46,6 +46,28 @@ def test_mpc_closed_loop_progresses():
     assert dT < d0
 
 
+def test_mpc_fleet_rescued_initial():
+    """run_fleet: batched rescued initial plans + vmapped closed loops;
+    initial-plan status is surfaced per rollout (ADVICE r3 medium)."""
+    import dataclasses
+
+    spec = reverse_parking_spec(N=40, Ts=0.6)
+    cfg = SolverConfig(max_iter=200, mu_init=jnp.asarray(1e-3))
+    W0_1, _ = _converged_plan(spec)
+    specs = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[dataclasses.replace(spec, x0=spec.x0.at[0].add(s))
+          for s in (0.0, 0.05)],
+    )
+    W0 = jnp.stack([W0_1, W0_1])
+    res = jax.jit(
+        lambda sp, w: mpc.run_fleet(sp, cfg, 2, w)
+    )(specs, W0)
+    assert np.all(np.asarray(res.status0) == 0)
+    assert np.all(np.asarray(res.status) == 0)
+    assert res.states.shape == (2, 3, 4)
+
+
 def test_mpc_disturbance_rejection():
     """Small state disturbances are absorbed; solver stays converged."""
     spec = reverse_parking_spec(N=40, Ts=0.6)

@@ -1,19 +1,32 @@
 """Measured Pallas kernel times vs a bytes-based speed-of-light model
-(VERDICT r2 weak #7: the roofline needs a defensible measured
-denominator; the r2 hand model disagreed with its own measurements).
+(VERDICT r3 next #5: the r3 artifact claimed 244% of speed-of-light —
+physically impossible, so the measurement and the model both get fixed
+here).
 
-Times `factor_batched_se` / `solve_batched_se` standalone at the bench
-shape and prints measured ms, the HBM-traffic model, and the implied
-fraction of speed-of-light.  The model counts actual streams of the
-sparse-coupling kernels:
+Two measurement methods that must agree:
+
+  * chained-wall: n dependent kernel invocations inside ONE jitted
+    `lax.fori_loop` (each call consumes a cheap slice of the previous
+    output, forcing serialization), wall / n.  The r3 method timed
+    10 independent dispatch+block rounds through the axon remote
+    tunnel — short kernels were mis-timed badly enough to "beat" the
+    HBM bound by 2.4x.
+  * device-trace: the kernel's own duration from a jax.profiler trace
+    (the pallas_calls are named `blocktri_*_se`), aggregated per
+    kernel and divided by the invocation count.
+
+The bytes model counts the actual HBM streams of the sparse-coupling
+kernels:
 
   factor: read K [S,nzp,nzp,B] + write Sinv [S,nzp,nzp,B]
           + write Wc [S,nzp,Cp,B]            (ev/reg/P negligible)
   solve:  fwd read Sinv + r, write y; bwd read Wc + y, write x
 
-Usage: python tools/kernel_bench.py [B] [N]
+Usage: python tools/kernel_bench.py [B] [N] [n_chain]
 """
 
+import glob
+import gzip
 import json
 import os
 import sys
@@ -30,12 +43,82 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-HBM_GBPS = 819.0  # v5e spec-sheet HBM bandwidth
+HBM_GBPS = 819.0  # v5e (TPU v5 lite) spec-sheet HBM bandwidth
+
+
+def _bmm_flops(m, k, n, B):
+    """FLOPs of one lane-batched _bmm: C[m,n,B] = A[m,k,B] B[k,n,B]."""
+    return 2 * m * k * n * B
+
+
+def _spd_inv_flops(n, B):
+    """Exact FLOP count of blocktri_kernel._spd_inv_b's recursion."""
+    if n <= 2:
+        return 10 * B            # closed forms; negligible
+    k = n // 2
+    r = n - k
+    f = _spd_inv_flops(k, B)                     # I11
+    f += _bmm_flops(k, k, r, B)                  # B12 = I11 A12
+    f += _bmm_flops(r, k, r, B) + r * r * B      # S = A22 - A12' B12
+    f += _spd_inv_flops(r, B)                    # IS
+    f += _bmm_flops(k, r, r, B)                  # off = -B12 IS
+    f += _bmm_flops(k, r, r, B) + _bmm_flops(k, r, k, B) + k * k * B
+    return f
+
+
+def _qd_inv_flops(nz, nw, B):
+    """Exact FLOP count of blocktri_kernel._qd_inv_b."""
+    nc = nz - nw
+    f = _spd_inv_flops(nw, B)                    # Ainv
+    f += _bmm_flops(nw, nw, nc, B)               # AB
+    f += _bmm_flops(nc, nw, nc, B) + nc * nc * B  # Sd
+    f += _spd_inv_flops(nc, B)                   # Sdinv
+    f += _bmm_flops(nw, nc, nc, B)               # X12
+    f += _bmm_flops(nw, nc, nw, B) + nw * nw * B  # X11
+    return f
+
+
+def _factor_se_flops(S, nz, nw, nnz, Cp, B):
+    """FLOPs of one factor_batched_se call: per-stage qd_inv + the
+    sparse Schur update (Wc build ~ nnz*nz, U ~ nnz*Cp, U_full two
+    selection matmuls)."""
+    per_stage = (_qd_inv_flops(nz, nw, B)
+                 + 2 * nnz * nz * B              # Wc columns
+                 + 2 * nnz * Cp * B              # U rows
+                 + _bmm_flops(nz, Cp, Cp, B)     # PbT @ U
+                 + _bmm_flops(nz, Cp, nz, B)     # .. @ Pb
+                 + nz * nz * B)                  # Kk - U_full
+    return S * per_stage
+
+
+def _trace_kernel_ms(logdir, patterns):
+    """Aggregate device-side durations (ms) of ops whose name contains
+    any of `patterns`, from the newest trace under logdir."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return {}
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    agg = {p: 0.0 for p in patterns}
+    counts = {p: 0 for p in patterns}
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "")
+        for p in patterns:
+            if p in name:
+                agg[p] += float(ev.get("dur", 0.0))
+                counts[p] += 1
+    return {p: {"ms": agg[p] / 1e3, "events": counts[p]}
+            for p in patterns if counts[p]}
 
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    n_chain = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 
     from obca_tpu import nlp
     from obca_tpu.solver.pallas import blocktri_kernel as bk
@@ -68,39 +151,127 @@ def main():
 
     Kj, evj, regj, rj = map(jnp.asarray, (K, ev, reg, r))
 
-    fac = jax.jit(lambda k_, e_, g_: bk.factor_batched_se(
+    fac1 = jax.jit(lambda k_, e_, g_: bk.factor_batched_se(
         k_, e_, g_, rows, cols, L.nw)[:2])
-    Sinv, Wc = jax.block_until_ready(fac(Kj, evj, regj))
-    sol = jax.jit(lambda s_, w_, e_, r_: bk.solve_batched_se(
+    Sinv, Wc = jax.block_until_ready(fac1(Kj, evj, regj))
+    sol1 = jax.jit(lambda s_, w_, e_, r_: bk.solve_batched_se(
         s_, w_, e_, r_, rows, cols, ucols))
-    x = jax.block_until_ready(sol(Sinv, Wc, evj, rj))
+    x = jax.block_until_ready(sol1(Sinv, Wc, evj, rj))
 
-    def t(f, *a, reps=10):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            jax.block_until_ready(f(*a))
-        return (time.perf_counter() - t0) / reps
+    # --- chained timing: n dependent calls in one compiled loop ---
+    @jax.jit
+    def fac_chain(K_, ev_, reg_):
+        def body(i, carry):
+            Sv, _ = carry
+            # serialize via a negligible-traffic dependency on the
+            # previous output (reg is one [nz, B] block)
+            reg_i = reg_ + 1e-30 * Sv[0, :, 0, :]
+            Sv2, Wc2, _ = bk.factor_batched_se(K_, ev_, reg_i,
+                                               rows, cols, L.nw)
+            return Sv2, Wc2
+        return jax.lax.fori_loop(0, n_chain, body, (Sinv, Wc))
 
-    t_fac = t(fac, Kj, evj, regj)
-    t_sol = t(sol, Sinv, Wc, evj, rj)
+    @jax.jit
+    def sol_chain(S_, W_, ev_, r_):
+        def body(i, xprev):
+            r_i = r_ + 1e-30 * xprev
+            return bk.solve_batched_se(S_, W_, ev_, r_i,
+                                       rows, cols, ucols)
+        return jax.lax.fori_loop(0, n_chain, body, x)
+
+    jax.block_until_ready(fac_chain(Kj, evj, regj))      # compile
+    jax.block_until_ready(sol_chain(Sinv, Wc, evj, rj))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fac_chain(Kj, evj, regj))
+    t_fac = (time.perf_counter() - t0) / n_chain
+    t0 = time.perf_counter()
+    jax.block_until_ready(sol_chain(Sinv, Wc, evj, rj))
+    t_sol = (time.perf_counter() - t0) / n_chain
+
+    # --- measured VPU peak: one fused kernel, 128 FMAs per element ---
+    # (reads x once, writes once: at 128 FMA/elem the kernel is
+    # compute-bound, so FLOPs/time ~ achievable VPU throughput — the
+    # denominator the factor kernel's compute roofline needs; the
+    # factor is broadcast-FMA on the VPU, NOT MXU matmuls, so the HBM
+    # bytes model alone cannot bound it.)
+    NFMA = 128
+    xbig = jnp.asarray(rng.standard_normal(
+        (S, nzp, nzp, Bp)).astype(np.float32))
+    a_ = jnp.float32(1.0000001)
+    b_ = jnp.float32(1e-7)
+
+    @jax.jit
+    def fma_chain(x):
+        for _ in range(NFMA):
+            x = x * a_ + b_
+        return x
+
+    jax.block_until_ready(fma_chain(xbig))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fma_chain(xbig))
+    t_fma = time.perf_counter() - t0
+    vpu_flops = 2 * NFMA * xbig.size / t_fma      # measured FLOP/s
+
+    # --- device-trace timing of the same chains ---
+    logdir = "/tmp/obca_kernel_trace"
+    os.makedirs(logdir, exist_ok=True)
+    with jax.profiler.trace(logdir):
+        jax.block_until_ready(fac_chain(Kj, evj, regj))
+        jax.block_until_ready(sol_chain(Sinv, Wc, evj, rj))
+    traced = _trace_kernel_ms(
+        logdir, ["blocktri_factor_se", "blocktri_fwd_se",
+                 "blocktri_bwd_se"])
+
+    def per_call(pat):
+        """Per-invocation device ms.  The same event may be mirrored on
+        several trace tracks (device + host annotation); divide the
+        aggregate by the actual event count and scale by invocations
+        per chain step (1)."""
+        t = traced.get(pat)
+        if not t:
+            return None
+        n_tracks = max(1, round(t["events"] / n_chain))
+        return t["ms"] / n_chain / n_tracks
 
     blk = S * nzp * nzp * Bp * 4
     wc = S * nzp * Cp * Bp * 4
     vec = S * nzp * Bp * 4
     fac_bytes = 2 * blk + wc
     sol_bytes = blk + wc + 4 * vec
+
+    fac_sol_ms = fac_bytes / (HBM_GBPS * 1e6)
+    sol_sol_ms = sol_bytes / (HBM_GBPS * 1e6)
+    # Compute-side speed of light for the factor (it is VPU-bound):
+    fac_flops = _factor_se_flops(S, nzp, L.nw, len(rows), Cp, Bp)
+    fac_cpu_sol_ms = fac_flops / vpu_flops * 1e3
+    fac_ms_best = (per_call("blocktri_factor_se") or t_fac * 1e3)
     out = {
         "B": B, "N": N, "nzp": nzp, "Cp": Cp, "Bp": Bp,
+        "n_chain": n_chain,
         "factor_ms": round(t_fac * 1e3, 3),
+        "factor_trace_ms": (round(per_call("blocktri_factor_se"), 3)
+                            if per_call("blocktri_factor_se") else None),
         "factor_model_bytes_MB": round(fac_bytes / 1e6, 1),
-        "factor_sol_ms": round(fac_bytes / (HBM_GBPS * 1e6), 3),
-        "factor_pct_of_sol": round(
-            100 * (fac_bytes / (HBM_GBPS * 1e6)) / (t_fac * 1e3), 1),
+        "factor_sol_ms": round(fac_sol_ms, 3),
+        "factor_pct_of_sol": round(100 * fac_sol_ms / fac_ms_best, 1),
+        "factor_model_gflop": round(fac_flops / 1e9, 2),
+        "vpu_measured_tflops": round(vpu_flops / 1e12, 3),
+        "factor_vpu_sol_ms": round(fac_cpu_sol_ms, 3),
+        "factor_pct_of_vpu_sol": round(
+            100 * fac_cpu_sol_ms / fac_ms_best, 1),
         "solve_ms": round(t_sol * 1e3, 3),
+        "solve_trace_ms": (
+            round(sum(per_call(p) for p in
+                      ("blocktri_fwd_se", "blocktri_bwd_se")
+                      if per_call(p)), 3)
+            if (per_call("blocktri_fwd_se")
+                or per_call("blocktri_bwd_se")) else None),
         "solve_model_bytes_MB": round(sol_bytes / 1e6, 1),
-        "solve_sol_ms": round(sol_bytes / (HBM_GBPS * 1e6), 3),
-        "solve_pct_of_sol": round(
-            100 * (sol_bytes / (HBM_GBPS * 1e6)) / (t_sol * 1e3), 1),
+        "solve_sol_ms": round(sol_sol_ms, 3),
+        "solve_pct_of_sol": round(100 * sol_sol_ms / (
+            (sum(per_call(p) for p in ("blocktri_fwd_se",
+                                       "blocktri_bwd_se")
+                 if per_call(p)) or t_sol * 1e3)), 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -67,10 +67,14 @@ def main():
     variants = {
         "base": {},
         "gcr2": dict(refine_iters=2),
+        "gcr1": dict(refine_iters=1),
         "merit2": dict(ls_steps=2),
+        "merit8": dict(ls_steps=8),
         "ruiz0": dict(ruiz_iters=0),
+        "ruiz2": dict(ruiz_iters=2),
         "soc": dict(soc=True),
         "nowd": dict(watchdog=False),
+        "nols": dict(dual_init_ls=False),
     }
 
     def run(cfgkw):
@@ -99,24 +103,27 @@ def main():
 
     per_it = lambda t: t / K * 1e3
     out["ms_per_iter"] = round(per_it(times["base"]), 3)
-    out["ms_gcr8"] = round(per_it(times["base"] - times["gcr2"]), 3)
+    # Marginal phase costs (differences of fixed-iteration walls).
+    out["ms_gcr_per_step"] = round(
+        per_it(times["base"] - times["gcr1"]) / 3.0, 3)
+    # m=4 total ≈ 4 x marginal step (step 1 costs the same streams).
+    out["ms_gcr_total"] = round(
+        4.0 * per_it(times["base"] - times["gcr1"]) / 3.0, 3)
     out["ms_merit10"] = round(per_it(times["base"] - times["merit2"]), 3)
+    out["ms_merit_per_pt"] = round(
+        per_it(times["base"] - times["merit8"]) / 4.0, 3)
     out["ms_ruiz3"] = round(per_it(times["base"] - times["ruiz0"]), 3)
+    out["ms_ruiz_per_sweep"] = round(
+        per_it(times["base"] - times["ruiz2"]), 3)
     out["ms_soc"] = round(per_it(times["soc"] - times["base"]), 3)
     out["ms_watchdog"] = round(per_it(times["base"] - times["nowd"]), 3)
-
-    # Roofline: the factor kernel streams K in and Sinv + W out
-    # (3 * S*nz^2*B f32 words) per call; the solve kernel streams
-    # Sinv + E (fwd) + W (bwd).
-    L = nlp.layout_of(base_spec)
-    S, nz = N + 1, L.nz
-    nzp = -(-nz // 8) * 8
-    blk = S * nzp * nzp * max(B, 128) * 4
-    hbm_gbps = 819.0  # v5 lite spec sheet
-    out["factor_bytes_MB"] = round(3 * blk / 1e6, 1)
-    out["factor_sol_ms"] = round(3 * blk / (hbm_gbps * 1e6), 3)
-    out["solve_bytes_MB"] = round(3 * blk / 1e6, 1)
-    out["solve_sol_ms"] = round(3 * blk / (hbm_gbps * 1e6), 3)
+    # Residual: base minus everything attributable above — KKT
+    # assembly, layout transposes/padding, factor+precond kernels,
+    # residual evaluations, while-loop state copies.  The device
+    # trace (tools/trace_solve.py) breaks this down by op.
+    attributed = (out["ms_gcr_total"] + out["ms_merit10"]
+                  + out["ms_ruiz3"] + out["ms_watchdog"])
+    out["ms_unattributed"] = round(out["ms_per_iter"] - attributed, 3)
     print(json.dumps(out))
 
 
