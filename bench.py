@@ -73,11 +73,22 @@ def main():
     else:
         cfg = SolverConfig(max_iter=max_iter, dtype=dtype)
 
+    # Dynamic (pytree-leaf) barrier knobs — cfg is a jit *argument*, so
+    # overriding these costs no recompile (tools/knob_sweep.py is the
+    # measured basis for non-default values).
+    if os.environ.get("BENCH_MU_INIT"):
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, mu_init=jnp.asarray(
+            float(os.environ["BENCH_MU_INIT"]), jnp.float32).astype(
+                cfg.mu_init.dtype))
+    rescue_mu = jnp.asarray(
+        float(os.environ.get("BENCH_RESCUE_MU", "1e-5")), jnp.float32)
+
     # Static lattice geometry (concrete spec -> static-shift sweep).
     lcfg = lattice.LatticeConfig.for_spec(base)
 
     @jax.jit
-    def pipeline(specs, base):
+    def pipeline(specs, base, cfg, rescue_mu):
         # The planner field depends only on (obstacles, goal): compute
         # once, share across the batch; each scenario extracts its own
         # start-dependent path from it.
@@ -89,17 +100,19 @@ def main():
         # Two-pass batched solve: lanes whose warm start lands in a bad
         # dual basin are re-seeded from a converged neighbor (see
         # ipm.solve_batch_rescued) — converged == B instead of ~92%.
-        return ipm.solve_batch_rescued(specs, cfg, W0)
+        return ipm.solve_batch_rescued(specs, cfg, W0,
+                                       rescue_mu=rescue_mu)
 
     # Warmup / compile.
-    res = jax.block_until_ready(pipeline(specs, base))
+    res = jax.block_until_ready(pipeline(specs, base, cfg, rescue_mu))
     n_conv = int(np.sum(np.asarray(res.status) == ipm.STATUS_CONVERGED))
 
     # Timed runs.
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = jax.block_until_ready(pipeline(specs, base))
+        res = jax.block_until_ready(pipeline(specs, base, cfg,
+                                             rescue_mu))
     dt_s = (time.perf_counter() - t0) / reps
 
     solves_per_s = B / dt_s

@@ -28,8 +28,9 @@ def main():
     ap.add_argument("--config", choices=["f64", "mixed", "f32"],
                     default="f32")
     ap.add_argument("--max-iter", type=int, default=70)
-    ap.add_argument("--resolve-max-iter", type=int, default=30)
+    ap.add_argument("--resolve-max-iter", type=int, default=60)
     ap.add_argument("--resolve-mu", type=float, default=1e-5)
+    ap.add_argument("--resolve-tol", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-single", action="store_true")
     args = ap.parse_args()
@@ -46,8 +47,12 @@ def main():
 
     lcfg = lattice.LatticeConfig.for_spec(base)
 
+    import jax.numpy as jnp
+
+    # cfg and the resolve knobs are jit ARGUMENTS: barrier/tol leaves
+    # then sweep without recompiling the (expensive) fleet program.
     @jax.jit
-    def fleet(specs):
+    def fleet_fn(specs, cfg, rmu, rtol):
         # One planner field for the fleet (start-independent); each
         # rollout extracts its own initial path from it.
         field = lattice.plan_field(base, lcfg)
@@ -56,8 +61,17 @@ def main():
                                                     field=field)
         )(specs)
         return mpc.run_fleet(specs, cfg, args.steps, W0,
-                             resolve_mu=args.resolve_mu,
-                             resolve_max_iter=args.resolve_max_iter)
+                             resolve_mu=rmu,
+                             resolve_max_iter=args.resolve_max_iter,
+                             resolve_tol=rtol)
+
+    rmu = jnp.asarray(args.resolve_mu, jnp.float32)
+    rtol = jnp.asarray(
+        args.resolve_tol if args.resolve_tol is not None
+        else float(cfg.tol), jnp.float32)
+
+    def fleet(specs):
+        return fleet_fn(specs, cfg, rmu, rtol)
 
     res = jax.block_until_ready(fleet(specs))   # compile + warmup
     t0 = time.perf_counter()

@@ -41,17 +41,53 @@ class MpcResult(NamedTuple):
     iters0: jax.Array      # [] initial plan iterations
 
 
-def shift_plan(W):
+def shift_plan(W, L):
     """Shift a trajectory one stage for the next solve's warm start:
-    stage k <- k+1, last stage duplicated (the classic MPC shift,
-    including the OBCA duals — the reference's DualMultWS role is
-    inherited from the previous solution)."""
-    return jnp.concatenate([W[1:], W[-1:]], axis=0)
+    stage k <- k+1, last stage duplicated (the classic MPC shift).
+    Mask-aware at the tail: old stage N's control columns hold the
+    PINNED dummy (u_N = 0), so the new stage N-1 keeps the last real
+    control instead of inheriting the dummy (the dummy pasted onto an
+    active stage left a measured 1.3 dual-stationarity residual on
+    the accel column at the horizon tail)."""
+    W_s = jnp.concatenate([W[1:], W[-1:]], axis=0)
+    return W_s.at[-2, L.sl_u].set(W[-2, L.sl_u])
+
+
+def _shift_rows(a):
+    """new[k] = old[k+1] for generic stages; new N-1 duplicates old
+    N-1 (generic mask), the terminal stage keeps old N."""
+    return jnp.concatenate([a[1:-1], a[-2:-1], a[-1:]], axis=0)
+
+
+def shift_dual_state(d: ipm.DualState, L) -> ipm.DualState:
+    """Mask-aware stage shift of the full dual state.
+
+    Stages 0..N-1 share the generic constraint mask; stages 0 and N
+    additionally carry boundary-condition equality rows, and stage N's
+    control/rate rows are pinned (slack 1.0, duals 0).  The naive
+    whole-row shift breaks at BOTH mask boundaries, measured on the
+    N=80 re-solve warm start (r4):
+
+      * tail: stage N's pinned rate rows landed on active stage N-1 —
+        slack 1.0 against a 0.18 rate bound, a 0.82 primal residual;
+      * front: the new stage 0 took old stage 1's MASKED (zero)
+        boundary-condition multipliers — a 2.3 dual-stationarity
+        residual on the heading column.
+
+    Together these forced every 10 Hz re-solve into ~25 re-centering
+    iterations from a warm start that should need ~10.  Generic rows
+    shift; the bc multipliers stay (multiplier continuity: the
+    anchored state moves one step, its multiplier varies smoothly)."""
+    nu = _shift_rows(d.nu)
+    nu = nu.at[0, L.r_bc].set(d.nu[0, L.r_bc])
+    return ipm.DualState(nu=nu, s=_shift_rows(d.s),
+                         zL=_shift_rows(d.zL), zU=_shift_rows(d.zU))
 
 
 def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         W0=None, duals0=None, disturbance=None,
-        resolve_mu: float = 1e-5, resolve_max_iter: int = 30,
+        resolve_mu: float = 1e-5, resolve_max_iter: int = 60,
+        resolve_tol: float | None = None,
         res0: ipm.SolveResult | None = None):
     """Closed-loop MPC from spec.x0 for n_steps control periods.
 
@@ -59,13 +95,17 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
     (or is taken from ``res0`` — fleet drivers precompute it with the
     batched rescue pass, see :func:`run_fleet`); every subsequent 10 Hz
     re-solve starts from the shifted previous solution (primal + duals)
-    at the near-final barrier ``resolve_mu`` with the tight cap
+    at the near-final barrier ``resolve_mu`` with the cap
     ``resolve_max_iter``.  The shifted plan is near-optimal for the
-    one-step-advanced problem — with an exact plant model the re-solve
-    is a handful of centering iterations, so the barrier restarts at
+    one-step-advanced problem — with an exact plant model most
+    re-solves are 10-25 centering iterations at mu restarting from
     1e-5 (within the f32 convergence window ``mu <= 10 mu_min``), not
     at mu_init = 0.1 (the r3 failure: 572 ms/step re-deriving what the
-    previous solve already knew).
+    previous solve already knew).  Cusp-crossing steps (the gear
+    switch changes the active rate/obstacle set) measurably need
+    ~40 iterations, so the cap stays at 60: the convergence-gated
+    while_loop exits early on easy steps, so the cap bounds only the
+    worst step, not the average latency.
 
     W0/duals0: warm start for the initial plan.  If the initial plan
     fails, the loop starts from ``W0`` with the solver's *cold* dual
@@ -90,7 +130,18 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         cfg, mu_init=jnp.asarray(resolve_mu, jnp.float32).astype(
             cfg.mu_init.dtype),
         max_iter=resolve_max_iter,
+        # Warm re-solves near the barrier floor reject steps that pass
+        # no acceptance test (see SolverConfig.strict_steps).
+        strict_steps=True,
     )
+    if resolve_tol is not None:
+        # Re-solve accuracy is a control-grade knob: the plan is
+        # re-solved every period, so a slightly looser per-step tol
+        # trades nothing observable for iterations.  A pytree leaf —
+        # no recompile.
+        cfg_warm = dataclasses.replace(
+            cfg_warm, tol=jnp.asarray(resolve_tol, jnp.float32).astype(
+                cfg.tol.dtype))
 
     # Initial plan: full barrier from the caller's warm start (unless
     # the fleet driver already solved it, rescue pass included).
@@ -132,11 +183,12 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         # Shift whichever plan was executed — the fresh solution when
         # the re-solve converged, the stale plan otherwise — so the
         # carried plan always has stage 0 == next control period.
-        W_next = shift_plan(jnp.where(ok, res.W, W_prev))
-        duals_next = jax.tree.map(
-            lambda new, old: shift_plan(jnp.where(ok, new, old)),
+        W_next = shift_plan(jnp.where(ok, res.W, W_prev), L)
+        duals_exec = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old),
             res.duals, duals_prev,
         )
+        duals_next = shift_dual_state(duals_exec, L)
         return (x_next, u0, W_next, duals_next), (
             x_next, u0, res.status, res.iters, res.err
         )
@@ -154,7 +206,8 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
 
 def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
               W0, disturbance=None, resolve_mu: float = 1e-5,
-              resolve_max_iter: int = 30):
+              resolve_max_iter: int = 60,
+              resolve_tol: float | None = None):
     """Fleet MPC: batched rescued initial plans + vmapped closed loops.
 
     The initial full-barrier solves run through
@@ -165,14 +218,14 @@ def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
     loop starts.  W0: [B, N+1, nw] stacked warm starts.
     """
     res0 = ipm.solve_batch_rescued(specs, cfg, W0)
+    kw = dict(resolve_mu=resolve_mu, resolve_max_iter=resolve_max_iter,
+              resolve_tol=resolve_tol)
     if disturbance is None:
         return jax.vmap(
             lambda sp, w, r0: run(sp, cfg, n_steps, W0=w, res0=r0,
-                                  resolve_mu=resolve_mu,
-                                  resolve_max_iter=resolve_max_iter)
+                                  **kw)
         )(specs, W0, res0)
     return jax.vmap(
         lambda sp, w, r0, d: run(sp, cfg, n_steps, W0=w, res0=r0,
-                                 disturbance=d, resolve_mu=resolve_mu,
-                                 resolve_max_iter=resolve_max_iter)
+                                 disturbance=d, **kw)
     )(specs, W0, res0, disturbance)

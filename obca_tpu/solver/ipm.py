@@ -587,7 +587,24 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             & jnp.all(jnp.isfinite(s_n)) & jnp.all(jnp.isfinite(zL_n))
             & jnp.all(jnp.isfinite(zU_n))
         )
-        take = finite & good_solve & ~conv
+        # strict_steps (warm re-solves): a step must be justified by
+        # SOME acceptance test — merit decrease, watchdog KKT
+        # decrease, or the SOC point.  Taking the smallest line-search
+        # alpha "on faith" when every test failed lets a garbage
+        # direction through (measured on warm MPC re-solves at
+        # mu = 1e-5: an ill-conditioned f32 direction with unscaled
+        # linear residual ~47 passed the scaled gate, and the blind
+        # alpha = a/128 step blew the dual residual from 0.1 to 46).
+        # Rejecting lands in the crawl branch below — delta_w bumps
+        # and the next factorization is better conditioned.  Cold
+        # solves keep the fallback: early-barrier progress on the
+        # nonconvex basin measurably relies on it (see
+        # SolverConfig.strict_steps).
+        if cfg.strict_steps:
+            accepted = found | take_full | use_soc
+        else:
+            accepted = jnp.asarray(True)
+        take = finite & good_solve & accepted & ~conv
 
         def sel(a, b):
             return jnp.where(take, a, b)
@@ -612,7 +629,7 @@ def _make_step(spec: ProblemSpec, cfg: SolverConfig, W0=None,
             healthy,
             jnp.maximum(cfg.delta_w.astype(dt), state.delta_w * 0.5),
             jnp.where(
-                crawl | ((~finite | ~good_solve) & ~conv),
+                crawl | ((~finite | ~good_solve | ~accepted) & ~conv),
                 jnp.minimum(state.delta_w * 10.0 + 1e-8, 1e2),
                 state.delta_w,
             ),
@@ -731,10 +748,11 @@ def solve_free_time(spec: ProblemSpec, cfg: SolverConfig, W0=None,
 
 
 def debug_iterate(spec: ProblemSpec, cfg: SolverConfig, W0=None,
-                  n_iter: int = 30, printer=print, prob=nlp):
+                  n_iter: int = 30, printer=print, prob=nlp,
+                  duals0: DualState | None = None):
     """Host-side iteration loop with per-iteration diagnostics."""
-    state0, step, L, _final_check = _make_step(spec, cfg, W0, debug=True,
-                                               prob=prob)
+    state0, step, L, _final_check = _make_step(spec, cfg, W0, duals0,
+                                               debug=True, prob=prob)
     jstep = jax.jit(step)
     state = state0
     for i in range(n_iter):

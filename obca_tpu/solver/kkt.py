@@ -32,18 +32,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gcr_batched(matvec, precond, rhs, m: int, rd):
+def _gcr_batched(step_fn, rhs, m: int, rd):
     """GCR(m) over a batch: vectors [S, nz, B], scalars [B] (lane-wise
     scalar arithmetic — every scenario runs its own GCR in lockstep).
-    Mirrors blocktri.solve_gcr."""
+    Mirrors blocktri.solve_gcr.  ``step_fn(res) -> (p, Ap)`` supplies
+    the preconditioned direction and its matvec — fused into one
+    Pallas call on the f32 fast path (bwd_matvec_se), two calls + an
+    XLA matvec otherwise."""
     tiny = jnp.asarray(np.finfo(np.dtype(rd)).tiny, rd)
     rrd = rhs.astype(rd)
     x = jnp.zeros_like(rrd)
     res = rrd
     ps, aps = [], []
     for _ in range(m):
-        p = precond(res).astype(rd)
-        ap = matvec(p)
+        p, ap = step_fn(res)
+        p = p.astype(rd)
+        ap = ap.astype(rd)
         for pj, apj in zip(ps, aps):
             beta = jnp.sum(ap * apj, axis=(0, 1), keepdims=True)
             p = p - beta * pj
@@ -183,17 +187,31 @@ def make_kkt_solver_se(nw: int, m: int, factor_dtype, residual_dtype,
             Kt_r = Kt_p if same_rd else Kt_p.astype(rd)
             evt_r = evt_p if same_rd else evt_p.astype(rd)
 
-            def precond(res):
-                return bk.solve_batched_se(
-                    Sinv, Wc, evt_p.astype(fd), res.astype(fd),
-                    rows, cols, ucols, interpret=interpret,
-                )
+            if np.dtype(fd) == np.dtype(rd):
+                # f32 fast path: one fused Pallas call per GCR step
+                # does bwd substitution + the true-system matvec
+                # (the XLA matvec streamed K at ~280 GB/s vs the
+                # kernels' ~800, and each extra dispatch costs
+                # ~0.3 ms through the axon tunnel).
+                evt_f = evt_p.astype(fd)
 
-            def matvec(x):
-                return _matvec_lanes_se(Kt_r, evt_r, rows, cols,
-                                        x.astype(rd))
+                def step_fn(res):
+                    y = bk.fwd_se(Sinv, evt_f, res.astype(fd),
+                                  rows, cols, interpret=interpret)
+                    return bk.bwd_matvec_se(
+                        Wc, y, Kt_r.astype(fd), evt_f, rows, cols,
+                        ucols, interpret=interpret)
+            else:
+                def step_fn(res):
+                    p = bk.solve_batched_se(
+                        Sinv, Wc, evt_p.astype(fd), res.astype(fd),
+                        rows, cols, ucols, interpret=interpret,
+                    )
+                    ap = _matvec_lanes_se(Kt_r, evt_r, rows, cols,
+                                          p.astype(rd))
+                    return p, ap
 
-            x, lin = _gcr_batched(matvec, precond, rt_p, m, rd)
+            x, lin = _gcr_batched(step_fn, rt_p, m, rd)
         d = jnp.transpose(x[:, :nz, :B], (2, 0, 1)).astype(dt)
         return (d, lin[:B].astype(dt)), (True, True)
 
@@ -268,15 +286,12 @@ def make_kkt_solver(nw: int, m: int, factor_dtype, residual_dtype,
                 [], nzp, Bp, nw=nw,
             )
 
-            def precond(res):
-                return bk.solve_batched(Sinv, W, Et_p,
-                                        res.astype(fd),
-                                        interpret=interpret)
+            def step_fn(res):
+                p = bk.solve_batched(Sinv, W, Et_p, res.astype(fd),
+                                     interpret=interpret)
+                return p, _matvec_lanes(Kt_r, Et_r, p.astype(rd))
 
-            def matvec(x):
-                return _matvec_lanes(Kt_r, Et_r, x.astype(rd))
-
-            x, lin = _gcr_batched(matvec, precond,
+            x, lin = _gcr_batched(step_fn,
                                   jnp.pad(rt, ((0, 0), (0, nzp - nz),
                                                (0, Bp - B))),
                                   m, rd)

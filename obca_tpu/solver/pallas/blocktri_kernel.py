@@ -569,6 +569,204 @@ def solve_batched_se(Sinv, Wc, ev, r, rows, cols, ucols, *,
 
 
 # ---------------------------------------------------------------------------
+# Fused backward-substitution + matvec kernel (f32 fast path).
+#
+# Each GCR refinement step needs p = M^{-1} res (fwd + bwd
+# substitution) and Ap = T p (block-tridiagonal matvec).  Running the
+# matvec as XLA ops costs a full K stream at XLA-elementwise bandwidth
+# (~280 GB/s measured on this platform vs ~800 GB/s reached by the
+# Pallas streams — tools/kernel_bench.py) plus one extra dispatch
+# (~0.3 ms through the axon tunnel).  This kernel fuses the backward
+# substitution with a one-stage-LAGGED matvec: walking stages s
+# descending, once p_s is computed the row Ap_{s+1} = K_{s+1} p_{s+1}
+# + E_{s+1} p_{s+2} + E_s' p_s has all three operands in VMEM carries
+# — no second pass, no dynamic indexing, one extra grid step for
+# Ap_0.  K rides the same descending stream at kernel bandwidth.
+# ---------------------------------------------------------------------------
+
+
+def _bwdmv_se_kernel(rows, cols, ucols, S,
+                     Wc_ref, y_ref, K_ref, evA_ref, evB_ref, Pc_ref,
+                     Pr_ref, p_ref, ap_ref, c1, c2):
+    """Grid g in [0, S]: p-stage s = S-1-g (g < S), Ap-stage t = S-g
+    (g >= 1).  Carries: c1 = p_{s+1}, c2 = p_{s+2} (before rotation).
+    evA holds E_t values (= ev_full[t+1]), evB holds E_{t-1} values
+    (= ev_full[t]); ev_full is ev with a zero block at both ends."""
+    g = pl.program_id(0)
+    nnz = len(rows)
+
+    # ---- backward substitution: p_s (g < S) ----
+    @pl.when(g < S)
+    def _():
+        acc = y_ref[0]
+        Wc = Wc_ref[0]
+        pc1 = c1[...]
+        for c_i, c in enumerate(ucols):
+            term = jnp.squeeze(Wc[:, c_i:c_i + 1, :], axis=1) \
+                * pc1[c:c + 1, :]
+            acc = jnp.where(g > 0, acc - term, acc)
+        p_ref[0] = acc
+
+    # ---- lagged matvec row: Ap_t, t = S-g (g >= 1) ----
+    @pl.when(g > 0)
+    def _():
+        p_t = c1[...]
+        p_t1 = c2[...]                    # p_{t+1} (garbage at t=S-1's
+        #                                   first use is masked below)
+        Kt = K_ref[0]
+        out = _bmv(Kt, p_t)
+        # + E_t p_{t+1} (rows of E_t): skip at t = S-1 (no E_{S-1}..).
+        evA = evA_ref[0]
+        xc = jnp.concatenate(
+            [evA[j:j + 1, :] * p_t1[cols[j]:cols[j] + 1, :]
+             for j in range(nnz)], axis=0)          # [nnz, B]
+        Pr = jax.lax.slice_in_dim(Pr_ref[...], 0, nnz, axis=0)
+        add_r = jnp.sum(jnp.expand_dims(Pr, 2) * xc[:, None, :],
+                        axis=0)
+        out = out + jnp.where(g > 1, add_r, 0.0)
+        # + E_{t-1}' p_{t-1}: p_{t-1} = p_s written this step (g < S).
+        @pl.when(g < S)
+        def _():
+            evB = evB_ref[0]
+            p_s = p_ref[0]
+            tc = jnp.concatenate(
+                [evB[j:j + 1, :] * p_s[rows[j]:rows[j] + 1, :]
+                 for j in range(nnz)], axis=0)
+            Pc = jax.lax.slice_in_dim(Pc_ref[...], 0, nnz, axis=0)
+            ap_ref[0] = out + jnp.sum(
+                jnp.expand_dims(Pc, 2) * tc[:, None, :], axis=0)
+
+        @pl.when(g == S)
+        def _():
+            ap_ref[0] = out
+
+    # ---- rotate carries ----
+    @pl.when(g < S)
+    def _():
+        c2[...] = c1[...]
+        c1[...] = p_ref[0]
+
+
+def bwd_matvec_se(Wc, y, K, ev, rows, cols, ucols, *,
+                  interpret: bool = False):
+    """Fused backward substitution + block-tridiagonal matvec.
+
+    Args:
+      Wc [S-1, nz, Cp, B] compact W from factor_batched_se.
+      y  [S, nz, B] forward-substitution output.
+      K  [S, nz, nz, B] UNregularized (Ruiz-scaled) diagonal blocks —
+         the true system the GCR refines against.
+      ev [S-1, nnz, B] coupling values.
+    Returns (p [S, nz, B], Ap [S, nz, B]) with p = L'^{-1} y and
+    Ap = T p.
+    """
+    S, nz, _, B = K.shape
+    Cp = Wc.shape[2]
+    dt = K.dtype
+    y = y.astype(dt)
+    rows = [int(r_) for r_ in rows]
+    cols = [int(c) for c in cols]
+    nnz = ev.shape[1]
+    nnzp = _round_up(nnz, 8)
+    # ev_full[k] = E_{k-1} values; zero blocks at both ends.
+    ev_full = jnp.pad(ev.astype(dt), ((1, 1), (0, nnzp - nnz), (0, 0)))
+    Pc_np = np.zeros((nnzp, nz), np.float64)
+    Pr_np = np.zeros((nnzp, nz), np.float64)
+    for j in range(nnz):
+        Pc_np[j, cols[j]] = 1.0
+        Pr_np[j, rows[j]] = 1.0
+    Pc = jnp.asarray(Pc_np, dt)
+    Pr = jnp.asarray(Pr_np, dt)
+    Wc_pad = jnp.concatenate([Wc, jnp.zeros((1, nz, Cp, B), dt)],
+                             axis=0)
+
+    def m_p(g):          # p-stage s = S-1-g, clamped
+        return (_i32(jnp.clip(S - 1 - g, 0, S - 1)), _Z, _Z)
+
+    def m_p4(g):
+        return (_i32(jnp.clip(S - 1 - g, 0, S - 1)), _Z, _Z, _Z)
+
+    def m_t4(g):         # Ap-stage t = S-g, clamped
+        return (_i32(jnp.clip(S - g, 0, S - 1)), _Z, _Z, _Z)
+
+    def m_t(g):
+        return (_i32(jnp.clip(S - g, 0, S - 1)), _Z, _Z)
+
+    def m_evA(g):        # ev_full[t+1], t = S-g
+        return (_i32(jnp.clip(S - g + 1, 0, S)), _Z, _Z)
+
+    def m_evB(g):        # ev_full[t]
+        return (_i32(jnp.clip(S - g, 0, S)), _Z, _Z)
+
+    p, Ap = pl.pallas_call(
+        functools.partial(_bwdmv_se_kernel, rows, cols, ucols, S),
+        grid=(S + 1,),
+        name="blocktri_bwdmv_se",
+        in_specs=[
+            pl.BlockSpec((1, nz, Cp, B), m_p4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, B), m_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, nz, B), m_t4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nnzp, B), m_evA, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nnzp, B), m_evB, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nnzp, nz), lambda g: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nnzp, nz), lambda g: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nz, B), m_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, B), m_t, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, nz, B), dt),
+            jax.ShapeDtypeStruct((S, nz, B), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt),
+                        pltpu.VMEM((nz, B), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Wc_pad, y, K, ev_full, ev_full, Pc, Pr)
+    return p, Ap
+
+
+def fwd_se(Sinv, ev, r, rows, cols, *, interpret: bool = False):
+    """Forward substitution only (the first half of solve_batched_se);
+    used by the fused GCR step, which pairs it with bwd_matvec_se."""
+    S, nz, _, B = Sinv.shape
+    dt = Sinv.dtype
+    r = r.astype(dt)
+    rows = [int(r_) for r_ in rows]
+    cols = [int(c) for c in cols]
+    nnz = ev.shape[1]
+    nnzp = _round_up(nnz, 8)
+    ev_pad = jnp.pad(ev.astype(dt), ((1, 0), (0, nnzp - nnz), (0, 0)))
+    Pc_np = np.zeros((nnzp, nz), np.float64)
+    for j in range(nnz):
+        Pc_np[j, cols[j]] = 1.0
+    Pc = jnp.asarray(Pc_np, dt)
+    vblk = (1, nz, B)
+    return pl.pallas_call(
+        functools.partial(_fwd_se_kernel, rows),
+        grid=(S,),
+        name="blocktri_fwd_se",
+        in_specs=[
+            pl.BlockSpec((1, nz, nz, B), _map4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nnzp, B), _map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(vblk, _map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nnzp, nz), lambda k: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vblk, _map3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nz, B), dt),
+        scratch_shapes=[pltpu.VMEM((nz, B), dt)],
+        interpret=interpret,
+    )(Sinv, ev_pad, r, Pc)
+
+
+# ---------------------------------------------------------------------------
 # Padding helpers (nz to sublane multiples, B to lane multiples).
 # ---------------------------------------------------------------------------
 

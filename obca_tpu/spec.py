@@ -132,7 +132,7 @@ class ProblemSpec:
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
                       "residual_dtype", "factor_dtype", "dual_init_ls",
-                      "watchdog", "ruiz_iters", "soc"))
+                      "watchdog", "ruiz_iters", "soc", "strict_steps"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -216,6 +216,15 @@ class SolverConfig:
     ruiz_iters: int = 3
     # Second-order (Maratos) correction solve per iteration.
     soc: bool = True
+    # Reject steps that pass NO acceptance test (merit, watchdog, SOC)
+    # instead of taking the smallest line-search alpha on faith.  ON
+    # for warm re-solves near the barrier floor (MPC): a garbage
+    # ill-conditioned direction taken blind blows up the duals
+    # (measured: dual residual 0.1 -> 46 in one rejected-by-everything
+    # step).  OFF for cold solves: early-barrier progress on the
+    # nonconvex basin measurably relies on desperation steps (parallel
+    # parking stalls at err ~3.9 with strict steps on).
+    strict_steps: bool = False
 
 
 def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
@@ -263,6 +272,12 @@ def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
         # both converge 128/128 with identical ~8e-4 golden parity;
         # m=4 is ~18% faster end to end (103.9 vs 84.5 solves/s).
         refine_iters=4,
+        # 8 line-search points: the merit sweep costs a measured
+        # 0.31 ms/point on-chip (r4 profile_phase); 12 -> 8 saves
+        # ~1.2 ms/iter and the bench converges identically (the
+        # fallback step only rises from a/2048 to a/128, and failed
+        # searches trigger the delta_w bump either way).
+        ls_steps=8,
         max_iter=max_iter,
     )
     kw.update(overrides)

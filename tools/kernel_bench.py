@@ -194,7 +194,34 @@ def main():
     # denominator the factor kernel's compute roofline needs; the
     # factor is broadcast-FMA on the VPU, NOT MXU matmuls, so the HBM
     # bytes model alone cannot bound it.)
-    NFMA = 128
+    # --- measured STREAM bandwidth: y = x + 1 over the K-sized block.
+    # The spec-sheet 819 GB/s is not what a real kernel reaches; the
+    # roofline denominators below use the MEASURED figure so a kernel
+    # at the bound reads as ~100%, not 105% (r3's artifact used the
+    # spec number and the solve kernel appeared to beat it).
+    NS = 50
+
+    @jax.jit
+    def stream(x):
+        # one dispatch: NS dependent read+write passes inside the
+        # compiled loop (separate jit calls would pay ~1 ms of remote
+        # dispatch overhead each through the axon tunnel and read as
+        # ~200 GB/s on an 819 GB/s part)
+        return jax.lax.fori_loop(
+            0, NS, lambda i, x_: x_ + jnp.float32(1.0), x)
+
+    xs = jnp.asarray(rng.standard_normal(
+        (S, nzp, nzp, Bp)).astype(np.float32))
+    jax.block_until_ready(stream(xs))
+    t0 = time.perf_counter()
+    jax.block_until_ready(stream(xs))
+    t_stream = (time.perf_counter() - t0) / NS
+    meas_gbps = 2 * xs.size * 4 / t_stream / 1e9
+
+    # 16 independent chains x 16 FMAs each (ILP 16 — a single serial
+    # chain measures FMA *latency*, not throughput, and under-reports
+    # the peak ~8x).
+    NCHAIN, CLEN = 16, 16
     xbig = jnp.asarray(rng.standard_normal(
         (S, nzp, nzp, Bp)).astype(np.float32))
     a_ = jnp.float32(1.0000001)
@@ -202,15 +229,20 @@ def main():
 
     @jax.jit
     def fma_chain(x):
-        for _ in range(NFMA):
-            x = x * a_ + b_
-        return x
+        ys = [x * jnp.float32(1.0 + 1e-6 * i) for i in range(NCHAIN)]
+        for _ in range(CLEN):
+            ys = [y * a_ + b_ for y in ys]
+        out = ys[0]
+        for y in ys[1:]:
+            out = out + y
+        return out
 
     jax.block_until_ready(fma_chain(xbig))
     t0 = time.perf_counter()
     jax.block_until_ready(fma_chain(xbig))
     t_fma = time.perf_counter() - t0
-    vpu_flops = 2 * NFMA * xbig.size / t_fma      # measured FLOP/s
+    nflop = 2 * NCHAIN * CLEN + 2 * NCHAIN       # FMAs + setup/sum
+    vpu_flops = nflop * xbig.size / t_fma        # measured FLOP/s
 
     # --- device-trace timing of the same chains ---
     logdir = "/tmp/obca_kernel_trace"
@@ -239,26 +271,33 @@ def main():
     fac_bytes = 2 * blk + wc
     sol_bytes = blk + wc + 4 * vec
 
-    fac_sol_ms = fac_bytes / (HBM_GBPS * 1e6)
-    sol_sol_ms = sol_bytes / (HBM_GBPS * 1e6)
-    # Compute-side speed of light for the factor (it is VPU-bound):
+    bw = max(meas_gbps, 1.0)
+    fac_sol_ms = fac_bytes / (bw * 1e6)
+    sol_sol_ms = sol_bytes / (bw * 1e6)
+    # The factor kernel is COMPUTE-bound (device time ~5x the bytes
+    # bound): its meaningful figures are achieved FLOP/s and the ratio
+    # to the measured XLA-elementwise FMA throughput — not a % of the
+    # HBM bound, which is reported but explicitly non-binding.
     fac_flops = _factor_se_flops(S, nzp, L.nw, len(rows), Cp, Bp)
-    fac_cpu_sol_ms = fac_flops / vpu_flops * 1e3
     fac_ms_best = (per_call("blocktri_factor_se") or t_fac * 1e3)
+    fac_tflops = fac_flops / (fac_ms_best * 1e-3) / 1e12
     out = {
         "B": B, "N": N, "nzp": nzp, "Cp": Cp, "Bp": Bp,
         "n_chain": n_chain,
+        "hbm_spec_gbps": HBM_GBPS,
+        "hbm_measured_gbps": round(meas_gbps, 1),
         "factor_ms": round(t_fac * 1e3, 3),
         "factor_trace_ms": (round(per_call("blocktri_factor_se"), 3)
                             if per_call("blocktri_factor_se") else None),
         "factor_model_bytes_MB": round(fac_bytes / 1e6, 1),
         "factor_sol_ms": round(fac_sol_ms, 3),
         "factor_pct_of_sol": round(100 * fac_sol_ms / fac_ms_best, 1),
+        "factor_bound": "compute",
         "factor_model_gflop": round(fac_flops / 1e9, 2),
-        "vpu_measured_tflops": round(vpu_flops / 1e12, 3),
-        "factor_vpu_sol_ms": round(fac_cpu_sol_ms, 3),
-        "factor_pct_of_vpu_sol": round(
-            100 * fac_cpu_sol_ms / fac_ms_best, 1),
+        "factor_achieved_tflops": round(fac_tflops, 3),
+        "xla_elementwise_tflops": round(vpu_flops / 1e12, 3),
+        "factor_vs_xla_elementwise": round(
+            fac_tflops * 1e12 / vpu_flops, 2),
         "solve_ms": round(t_sol * 1e3, 3),
         "solve_trace_ms": (
             round(sum(per_call(p) for p in
@@ -266,6 +305,9 @@ def main():
                       if per_call(p)), 3)
             if (per_call("blocktri_fwd_se")
                 or per_call("blocktri_bwd_se")) else None),
+        "trace_raw": {k: {"ms": round(v["ms"], 3),
+                          "events": v["events"]}
+                      for k, v in traced.items()},
         "solve_model_bytes_MB": round(sol_bytes / 1e6, 1),
         "solve_sol_ms": round(sol_sol_ms, 3),
         "solve_pct_of_sol": round(100 * sol_sol_ms / (
