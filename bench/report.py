@@ -40,8 +40,11 @@ def main():
         if rescue_recs:
             rescue = {
                 "rescue_wall_s": round(rescue_wall, 3),
-                "rescue_n_failed": sum(r["n_failed"]
-                                       for r in rescue_recs),
+                "rescue_rounds": len(rescue_recs),
+                # Rounds re-report the shrinking failure set; the
+                # sweep-level figures are round 0's failures and the
+                # total recoveries.
+                "rescue_n_failed": rescue_recs[0]["n_failed"],
                 "rescue_n_recovered": sum(r["n_recovered"]
                                           for r in rescue_recs),
             }

@@ -124,24 +124,43 @@ def main():
     # donor (geometry-aware feature metric — ipm.donor_features), solve
     # once at the near-final barrier.
     # ------------------------------------------------------------------
-    shards = [np.load(os.path.join(args.out, f"shard_{i:04d}.npz"))
+    shards = [dict(np.load(os.path.join(args.out,
+                                        f"shard_{i:04d}.npz")))
               for i in range(n_shards)]
-    status = np.concatenate([z["status"] for z in shards])
-    failed = np.flatnonzero(status != 0)
-    conv = np.flatnonzero(status == 0)
-    if failed.size and conv.size:
+    all_specs = [shard_specs(i)[0] for i in range(n_shards)]
+    specs_flat = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs), *all_specs)
+    feats = np.asarray(ipm.donor_features(specs_flat))
+    cfg2 = dataclasses.replace(
+        cfg, mu_init=jnp.asarray(args.rescue_mu, cfg.mu_init.dtype))
+
+    @jax.jit
+    def rescue(sp, w, d):
+        return jax.vmap(
+            lambda s_, w_, d_: ipm.solve_single(s_, cfg2, w_,
+                                                duals0=d_)
+        )(sp, w, d)
+
+    # Multi-round: obstacle-randomized failures cluster by layout, and
+    # a donor from a DIFFERENT slot geometry cannot seed a mu=1e-5
+    # re-solve (r4 measurement: one round recovered 119/222; the rest
+    # had no same-layout donor yet).  Each round's recoveries become
+    # donors for their layout-mates, so the failure set collapses over
+    # 2-3 rounds; stop when everything converged or a round makes no
+    # progress.
+    for round_i in range(4):
+        status = np.concatenate([z["status"] for z in shards])
+        failed = np.flatnonzero(status != 0)
+        conv = np.flatnonzero(status == 0)
+        if not failed.size or not conv.size:
+            break
         t0 = time.perf_counter()
-        all_specs = [shard_specs(i)[0] for i in range(n_shards)]
-        specs_flat = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs), *all_specs)
-        feats = np.asarray(ipm.donor_features(specs_flat))
         d2 = ((feats[failed][:, None, :]
                - feats[conv][None, :, :]) ** 2).sum(-1)
         donors = conv[np.argmin(d2, axis=1)]          # [F] global ids
 
         def gather(name):
-            arr = np.concatenate([z[name] for z in shards])
-            return arr
+            return np.concatenate([z[name] for z in shards])
 
         W_all = gather("W")
         duals_all = {k: gather(k) for k in ("nu", "s", "zL", "zU")}
@@ -159,31 +178,23 @@ def main():
             zL=jnp.asarray(duals_all["zL"][didx], cfg.dtype),
             zU=jnp.asarray(duals_all["zU"][didx], cfg.dtype),
         )
-        cfg2 = dataclasses.replace(
-            cfg, mu_init=jnp.asarray(args.rescue_mu,
-                                     cfg.mu_init.dtype))
-
-        @jax.jit
-        def rescue(sp, w, d):
-            return jax.vmap(
-                lambda s_, w_, d_: ipm.solve_single(s_, cfg2, w_,
-                                                    duals0=d_)
-            )(sp, w, d)
-
         res_r = rescue(specs_r, W_seed, duals_seed)
         jax.block_until_ready(res_r.U)
         dt = time.perf_counter() - t0
 
-        # Scatter back (first occurrence of each failed lane wins).
+        # Scatter back into the in-memory shards (first occurrence of
+        # each failed lane wins); npz rewritten once after the loop.
         st_r = np.asarray(res_r.status)
         recovered = 0
+        seen = set()
         for j, lane in enumerate(idx[: failed.size]):
-            si, li = divmod(int(lane), shard_size)
-            if st_r[j] != 0:
+            lane = int(lane)
+            if st_r[j] != 0 or lane in seen:
                 continue
+            seen.add(lane)
             recovered += 1
-            z = dict(np.load(
-                os.path.join(args.out, f"shard_{si:04d}.npz")))
+            si, li = divmod(lane, shard_size)
+            z = shards[si]
             take = jax.tree.map(lambda a: a[j], res_r)
             z["X"][li] = np.asarray(take.X)
             z["U"][li] = np.asarray(take.U)
@@ -196,11 +207,72 @@ def main():
             z["s"][li] = np.asarray(take.duals.s)
             z["zL"][li] = np.asarray(take.duals.zL)
             z["zU"][li] = np.asarray(take.duals.zU)
-            np.savez(os.path.join(args.out, f"shard_{si:04d}.npz"),
-                     **z)
-        log(dict(event="rescue", wall_s=round(dt, 3),
+        log(dict(event="rescue", round=round_i,
+                 wall_s=round(dt, 3),
                  n_failed=int(failed.size), n_recovered=recovered,
                  rescue_iters_max=int(np.asarray(res_r.iters).max())))
+        if not recovered:
+            break
+
+    # Final fallback: lanes still failing after the warm rounds have
+    # no usable same-layout donor — re-solve them with the FULL
+    # barrier schedule from the nearest donor's primal trajectory
+    # (cold duals).  A full-barrier solve crosses dual basins that a
+    # near-floor warm re-solve cannot.
+    status = np.concatenate([z["status"] for z in shards])
+    failed = np.flatnonzero(status != 0)
+    conv = np.flatnonzero(status == 0)
+    if failed.size and conv.size:
+        t0 = time.perf_counter()
+        d2 = ((feats[failed][:, None, :]
+               - feats[conv][None, :, :]) ** 2).sum(-1)
+        donors = conv[np.argmin(d2, axis=1)]
+        W_all = np.concatenate([z["W"] for z in shards])
+        idx = np.resize(failed, shard_size)
+        didx = np.resize(donors, shard_size)
+        specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
+                               specs_flat)
+        W_seed = jnp.asarray(W_all[didx], cfg.dtype)
+
+        @jax.jit
+        def full_resolve(sp, w):
+            return jax.vmap(
+                lambda s_, w_: ipm.solve_single(s_, cfg, w_)
+            )(sp, w)
+
+        res_r = full_resolve(specs_r, W_seed)
+        jax.block_until_ready(res_r.U)
+        dt = time.perf_counter() - t0
+        st_r = np.asarray(res_r.status)
+        recovered = 0
+        seen = set()
+        for j, lane in enumerate(idx[: failed.size]):
+            lane = int(lane)
+            if st_r[j] != 0 or lane in seen:
+                continue
+            seen.add(lane)
+            recovered += 1
+            si, li = divmod(lane, shard_size)
+            z = shards[si]
+            take = jax.tree.map(lambda a: a[j], res_r)
+            z["X"][li] = np.asarray(take.X)
+            z["U"][li] = np.asarray(take.U)
+            z["W"][li] = np.asarray(take.W)
+            z["status"][li] = int(take.status)
+            z["iters"][li] += int(take.iters)
+            z["err"][li] = float(take.err)
+            z["obj"][li] = float(take.obj)
+            z["nu"][li] = np.asarray(take.duals.nu)
+            z["s"][li] = np.asarray(take.duals.s)
+            z["zL"][li] = np.asarray(take.duals.zL)
+            z["zU"][li] = np.asarray(take.duals.zU)
+        log(dict(event="rescue", round="full-barrier",
+                 wall_s=round(dt, 3), n_failed=int(failed.size),
+                 n_recovered=recovered,
+                 rescue_iters_max=int(np.asarray(res_r.iters).max())))
+
+    for i, z in enumerate(shards):
+        np.savez(os.path.join(args.out, f"shard_{i:04d}.npz"), **z)
 
     wall = time.perf_counter() - t_start
     log(dict(event="sweep_done", shards=n_shards,

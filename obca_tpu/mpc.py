@@ -44,13 +44,12 @@ class MpcResult(NamedTuple):
 def shift_plan(W, L):
     """Shift a trajectory one stage for the next solve's warm start:
     stage k <- k+1, last stage duplicated (the classic MPC shift).
-    Mask-aware at the tail: old stage N's control columns hold the
-    PINNED dummy (u_N = 0), so the new stage N-1 keeps the last real
-    control instead of inheriting the dummy (the dummy pasted onto an
-    active stage left a measured 1.3 dual-stationarity residual on
-    the accel column at the horizon tail)."""
-    W_s = jnp.concatenate([W[1:], W[-1:]], axis=0)
-    return W_s.at[-2, L.sl_u].set(W[-2, L.sl_u])
+    The duplicated tail keeps the dummy u = 0 control: the plan ends
+    parked (v = 0 at the goal), and f(goal, 0) = goal, so the new
+    stage N-1 dynamics row is satisfied exactly — keeping the last
+    real (braking) control instead left a measured 0.12 dynamics
+    residual from applying it at the parked state."""
+    return jnp.concatenate([W[1:], W[-1:]], axis=0)
 
 
 def _shift_rows(a):
@@ -77,7 +76,15 @@ def shift_dual_state(d: ipm.DualState, L) -> ipm.DualState:
     Together these forced every 10 Hz re-solve into ~25 re-centering
     iterations from a warm start that should need ~10.  Generic rows
     shift; the bc multipliers stay (multiplier continuity: the
-    anchored state moves one step, its multiplier varies smoothly)."""
+    anchored state moves one step, its multiplier varies smoothly);
+    The duplicated tail stage keeps old stage N-1's generic-row
+    multipliers: together with the kept terminal bc multiplier this
+    preserves the x_N stationarity sum exactly (pasting the terminal
+    shadow price onto the new dynamics row instead double-counts it —
+    measured: a pi-sized dual residual on the terminal heading).  The
+    remaining warm-start defect is a ~1 localized u-column residual at
+    the tail (old approach-phase dynamics multipliers against the
+    parked-stage control Jacobian), which Newton clears locally."""
     nu = _shift_rows(d.nu)
     nu = nu.at[0, L.r_bc].set(d.nu[0, L.r_bc])
     return ipm.DualState(nu=nu, s=_shift_rows(d.s),

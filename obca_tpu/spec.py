@@ -229,11 +229,16 @@ class SolverConfig:
 
 def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
                         **overrides) -> "SolverConfig":
-    """The TPU production configuration: float64 iterate (residuals,
-    merit, step control — elementwise, cheap even emulated) with the
-    factorization's nz^3 matmuls in float32 on the MXU, recovered to
-    f64 accuracy by iterative refinement.  Converges like the f64
-    oracle at a fraction of its TPU cost (SURVEY.md §7 hard part 1)."""
+    """Accuracy-grade mixed-precision configuration: float64 iterate
+    (residuals, merit, step control) with the factorization's nz^3
+    matmuls in float32, recovered to f64 accuracy by iterative
+    refinement.  On CPU this reproduces the f64 oracle to ~1e-6-class
+    control parity at a fraction of the cost and backs the dist-family
+    parity tests.  NOT currently the TPU production path: f32 emulated-
+    f64 interop crashes Mosaic on-chip (r4 measured: `layout.h` CHECK
+    `bitwidth <= 32` during kernel compile — see
+    bench/out/parity_onchip.json); `f32_solver_config` is the
+    production TPU configuration."""
     kw = dict(
         dtype=jnp.float64,
         factor_dtype=jnp.float32,
