@@ -43,16 +43,26 @@ def solver_config(kind: str, max_iter: int):
 
 def scenario_batch(base, B: int, seed: int = 0, spread: float = 0.5):
     """Stack B randomized instances of a base spec (perturbed start
-    pose) — the sweep workload (BASELINE config 4)."""
+    pose) — the sweep workload (BASELINE config 4).
+
+    Built in NUMPY with one device transfer per leaf: the previous
+    per-lane `x0.at[].add` + `jnp.stack` construction dispatched ~130
+    eager device ops whose async latency completed INSIDE the next
+    timed solve call — ~2 s/shard of phantom "solve" wall in the r4
+    sweep recordings (the headline bench hid the same cost behind its
+    warmup rep)."""
     rng = np.random.default_rng(seed)
     dt = np.dtype(base.x0.dtype)
+    x0 = np.tile(np.asarray(base.x0), (B, 1))
     shifts = rng.uniform(-spread, spread, size=(B, 2)).astype(dt)
-    return jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[dataclasses.replace(
-            base, x0=base.x0.at[0].add(dx).at[1].add(dy))
-          for dx, dy in shifts],
-    )
+    x0[:, :2] += shifts
+
+    def rep(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.broadcast_to(a, (B,) + a.shape))
+
+    specs = jax.tree.map(rep, base)
+    return dataclasses.replace(specs, x0=jnp.asarray(x0, dt))
 
 
 def jsonl_writer(path):

@@ -33,6 +33,12 @@ def main():
     mpath = os.path.join(out, "metrics.jsonl")
     if os.path.exists(mpath):
         recs = [json.loads(l) for l in open(mpath)]
+        # Multi-pass sweeps (run_sweep --passes N) mark each pass; the
+        # report covers the LAST pass — warm-executable steady state.
+        starts = [i for i, r in enumerate(recs)
+                  if r.get("event") == "pass_start"]
+        if starts:
+            recs = recs[starts[-1]:]
         solve_recs = [r for r in recs if "wall_s" in r and "shard" in r]
         # The global rescue pass is part of the sweep's solve cost.
         rescue_recs = [r for r in recs if r.get("event") == "rescue"]

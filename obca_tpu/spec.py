@@ -302,10 +302,16 @@ def parallel_fastpath_config(max_iter: int = 250,
         soc=True,
         tol=3e-5,
         mu_min=jnp.asarray(1e-7),
-        # Deeper GCR than the reverse-parking default (4): at the f32
-        # barrier floor this family's basin tracking needs the more
-        # faithful directions (m=4 drifts off the golden basin).
-        refine_iters=10,
+        # Deeper GCR + one extra Ruiz sweep than the reverse default:
+        # at the f32 barrier floor this family's basin tracking needs
+        # the most faithful directions available.  r4 knob sweep vs
+        # the re-recorded f64 golden: m=10 lands 0.49 off, m=16 at
+        # 0.149, m=16 + ruiz 4 at 1.3e-2 in 102 iters (deeper m or
+        # more sweeps regress).  Still above the 1e-3 parity budget —
+        # the f32 and f64 paths settle in distinct near-optimal basins
+        # since the r4 Ruiz reordering; see the parity test's xfail.
+        refine_iters=16,
+        ruiz_iters=4,
         max_iter=max_iter,
     )
     kw.update(overrides)
@@ -488,15 +494,21 @@ def randomized_reverse_parking_specs(B, n_layouts=8, seed=0, N=80,
     layouts = jax.tree.map(lambda *xs: jnp.stack(xs), *layout_list)
 
     group = B // n_layouts
-    lanes = []
-    for g in range(n_layouts):
-        for _ in range(group):
-            dx, dy = rng.uniform(-pose_spread, pose_spread, size=2)
-            dpsi = rng.uniform(-psi_spread, psi_spread)
-            x0 = layout_list[g].x0 + jnp.asarray(
-                [dx, dy, dpsi, 0.0], dtype)
-            lanes.append(dataclasses.replace(layout_list[g], x0=x0))
-    specs = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
+
+    # Numpy construction, one device transfer per leaf: per-lane eager
+    # device ops here would complete inside the caller's next timed
+    # solve (see bench/_common.scenario_batch).
+    def rep(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.repeat(a, group, axis=0))
+
+    specs = jax.tree.map(rep, layouts)
+    x0 = np.repeat(np.asarray(layouts.x0), group, axis=0)
+    dpose = np.zeros((B, 4))
+    dpose[:, :2] = rng.uniform(-pose_spread, pose_spread, size=(B, 2))
+    dpose[:, 2] = rng.uniform(-psi_spread, psi_spread, size=B)
+    specs = dataclasses.replace(
+        specs, x0=jnp.asarray(x0 + dpose, dtype))
     return specs, layouts, group
 
 

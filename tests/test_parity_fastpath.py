@@ -54,10 +54,11 @@ def test_fastpath_parity_n80(make_cfg):
     "oracle and the f32 fast path now settle in DIFFERENT legitimate "
     "local optima of this razor-thin nonconvex family (r3 measured "
     "them coinciding at 2e-6).  The f64 golden was re-recorded from "
-    "the current oracle (test_canonical_configs passes); re-aligning "
-    "the f32 path is an r5 item — candidates: deeper GCR at the 1e-7 "
-    "barrier floor, or a mixed-precision parallel config once the "
-    "Mosaic f64 interop crash is fixed (see parity_onchip.json).",
+    "the current oracle (test_canonical_configs passes); the r4 knob "
+    "sweep got the f32 gap from 0.49 down to 1.3e-2 (m=16 + ruiz 4, "
+    "now the config) but not to 1e-3.  r5: a mixed-precision parallel "
+    "config once the Mosaic f64 interop crash is fixed "
+    "(see parity_onchip.json).",
     strict=False)
 def test_fastpath_parity_parallel_n80():
     """Canonical config 2 (parallel parking) on the f32 fast path —
@@ -70,11 +71,13 @@ def test_fastpath_parity_parallel_n80():
 
 def test_fastpath_parity_dist_n80():
     """Distance-variant OCP (C4) on the mixed fast path (measured gap
-    2.7e-6; pure f32 sits at the 1e-3 boundary)."""
+    2.1e-6; pure f32 sits at the 1e-3 boundary).  Cap 200: the r4
+    Ruiz single-apply reordering moved this family's iteration count
+    from <100 to a measured 135 for identical final parity."""
     g = _golden("reverse_parking_dist_N80")
     spec = reverse_parking_spec(N=int(g["N"]), Ts=float(g["Ts"]),
                                 signed=False)
-    _check(g, spec, mixed_solver_config())
+    _check(g, spec, mixed_solver_config(max_iter=200))
 
 
 def test_fastpath_parity_freetime_n80():

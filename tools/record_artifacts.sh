@@ -13,8 +13,8 @@ mkdir -p bench/out
 # are committed.
 SWEEP_DIR=${SWEEP_DIR:-/tmp/obca_sweep_r4}
 rm -rf "$SWEEP_DIR"
-timeout 3600 python bench/run_sweep.py --batch 1024 --shard-size 128 \
-    --config f32 --out "$SWEEP_DIR"
+timeout 4200 python bench/run_sweep.py --batch 1024 --shard-size 128 \
+    --config f32 --passes 2 --out "$SWEEP_DIR"
 cp "$SWEEP_DIR/metrics.jsonl" bench/out/sweep_metrics.jsonl
 python bench/report.py "$SWEEP_DIR" > bench/out/sweep_report.json
 cat bench/out/sweep_report.json
