@@ -30,7 +30,13 @@ def main():
     ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--resolve-max-iter", type=int, default=60)
     ap.add_argument("--resolve-mu", type=float, default=1e-5)
-    ap.add_argument("--resolve-tol", type=float, default=None)
+    ap.add_argument("--resolve-tol", type=float, default=1e-3,
+                    help="re-solve KKT tolerance (control-grade: the "
+                         "plan refreshes every period; 1e-3 on "
+                         "controls bounded by 0.6 is 0.17%% - r4 "
+                         "measured it cuts single-vehicle replan "
+                         "latency 203->153 ms and lifts step "
+                         "convergence 0.80->0.93)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-single", action="store_true")
     args = ap.parse_args()
