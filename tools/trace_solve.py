@@ -74,8 +74,12 @@ def _device_op_durations(events):
         tids = op_tids.get(pid)
         if not tids or ev.get("tid") not in tids:
             continue
-        dur = float(ev.get("dur", 0.0))
         name = ev.get("name", "?")
+        # Control-flow wrapper events nest their children's time (the
+        # r3/r4 traces showed `while.267` at 49% — pure double count).
+        if name.startswith(("while", "body", "cond", "jit_", "Step")):
+            continue
+        dur = float(ev.get("dur", 0.0))
         agg[name] = agg.get(name, 0.0) + dur
         total += dur
     return agg, total
