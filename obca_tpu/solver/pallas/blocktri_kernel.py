@@ -44,6 +44,17 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+def _eye(n: int, dtype):
+    """In-kernel identity.  `jnp.eye` lowers through i64 iotas when
+    jax_enable_x64 is on, and Mosaic cannot lay out 64-bit values
+    (`layout.h` CHECK bitwidth <= 32) — the root cause of the r4
+    mixed-precision on-chip crash (VERDICT r4 next #3).  Explicit
+    int32 iotas keep the kernel 64-bit-free under any x64 setting."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(dtype)
+
+
 _Z = np.int32(0)
 
 
@@ -328,7 +339,7 @@ def _factor_se_kernel(nw, rows, cidx, ucols, Cp,
     nz = Kk.shape[0]
     dtype = Kk.dtype
     reg = reg_ref[0]                                # [nz, B]
-    eye = jnp.eye(nz, dtype=dtype)
+    eye = _eye(nz, dtype)
     Kk = Kk + eye[:, :, None] * reg[:, None, :]
 
     @pl.when(k == 0)
@@ -623,7 +634,9 @@ def _bwdmv_se_kernel(rows, cols, ucols, S,
         Pr = jax.lax.slice_in_dim(Pr_ref[...], 0, nnz, axis=0)
         add_r = jnp.sum(jnp.expand_dims(Pr, 2) * xc[:, None, :],
                         axis=0)
-        out = out + jnp.where(g > 1, add_r, 0.0)
+        # zeros_like, not the literal 0.0: under x64 the Python float
+        # enters the kernel as a weak f64 scalar (Mosaic layout CHECK).
+        out = out + jnp.where(g > 1, add_r, jnp.zeros_like(add_r))
         # + E_{t-1}' p_{t-1}: p_{t-1} = p_s written this step (g < S).
         @pl.when(g < S)
         def _():

