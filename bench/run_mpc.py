@@ -29,7 +29,15 @@ def main():
                     default="f32")
     ap.add_argument("--max-iter", type=int, default=70)
     ap.add_argument("--resolve-max-iter", type=int, default=60)
-    ap.add_argument("--resolve-mu", type=float, default=1e-5)
+    ap.add_argument("--resolve-mu", type=float, default=1e-4,
+                    help="re-solve barrier start.  1e-4, not the "
+                         "near-floor 1e-5: the shifted warm start's "
+                         "f32 KKT systems at 1e-5 produce garbage "
+                         "GCR directions (lin residual 33-140) and "
+                         "~10 wasted iterations of delta_w churn "
+                         "(r5, tools/dbg_mpc_shift.py: 26 -> 12 "
+                         "iters together with the delta_w=1e-4 "
+                         "resolve init)")
     ap.add_argument("--resolve-tol", type=float, default=1e-3,
                     help="re-solve KKT tolerance (control-grade: the "
                          "plan refreshes every period; 1e-3 on "
@@ -115,6 +123,37 @@ def main():
             "achieved_hz_single": round(args.steps / wall1, 2),
             "step_convergence_rate_single":
                 float((np.asarray(res1.status) == 0).mean()),
+        })
+
+        # Steady-state replan latency: the rollout wall above amortizes
+        # the ONE-TIME setup (planner field + lattice warm start + the
+        # full-barrier initial plan, ~44 iterations) over the steps —
+        # work a deployed controller does before the control loop
+        # starts, not per period.  The two-length slope
+        # (wall(T) - wall(T2)) / (T - T2) isolates the marginal
+        # per-period cost: the 10 Hz claim is about this number.
+        T2 = max(5, args.steps // 3)
+
+        @jax.jit
+        def fleet_fn2(specs, cfg, rmu, rtol):
+            field = lattice.plan_field(base, lcfg)
+            W0 = jax.vmap(
+                lambda sp: geometric.lattice_warm_start(
+                    sp, dtype=cfg.dtype, field=field)
+            )(specs)
+            return mpc.run_fleet(specs, cfg, T2, W0,
+                                 resolve_mu=rmu,
+                                 resolve_max_iter=args.resolve_max_iter,
+                                 resolve_tol=rtol)
+
+        jax.block_until_ready(fleet_fn2(specs1, cfg, rmu, rtol))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fleet_fn2(specs1, cfg, rmu, rtol))
+        wall2 = time.perf_counter() - t0
+        steady = (wall1 - wall2) / (args.steps - T2)
+        out.update({
+            "ms_per_mpc_step_single_steady": round(steady * 1e3, 2),
+            "achieved_hz_single_steady": round(1.0 / steady, 2),
         })
 
     print(json.dumps(out))

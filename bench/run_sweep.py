@@ -80,6 +80,14 @@ def main():
     if args.family == "parallel":
         if args.pose_only:
             raise SystemExit("--pose-only is a reverse-family mode")
+        # The parallel family's canonical barrier start is pinned at
+        # mu_init = 1e-3 (warm-start basin pinning — see
+        # spec.parallel_fastpath_config; measured r5: a randomized
+        # parallel lane DIVERGES from mu 0.1 and converges in 122
+        # iterations from 1e-3).
+        cfg = dataclasses.replace(
+            cfg, mu_init=jnp.asarray(1e-3, jnp.float32).astype(
+                cfg.mu_init.dtype))
         gen = randomized_parallel_parking_specs
         base = parallel_parking_spec(
             N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,

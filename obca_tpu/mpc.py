@@ -93,8 +93,9 @@ def shift_dual_state(d: ipm.DualState, L) -> ipm.DualState:
 
 def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         W0=None, duals0=None, disturbance=None,
-        resolve_mu: float = 1e-5, resolve_max_iter: int = 60,
+        resolve_mu: float = 1e-4, resolve_max_iter: int = 60,
         resolve_tol: float | None = None,
+        resolve_delta_w: float = 1e-4,
         res0: ipm.SolveResult | None = None):
     """Closed-loop MPC from spec.x0 for n_steps control periods.
 
@@ -140,12 +141,20 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         # Warm re-solves near the barrier floor reject steps that pass
         # no acceptance test (see SolverConfig.strict_steps).
         strict_steps=True,
-        # One guarded equality-multiplier LS correction at the shifted
-        # warm start: repairs the stage shift's residual dual defects
-        # (the measured ~1-sized tail u-column residual) for one extra
-        # factor+solve instead of ~10 re-centering iterations per
-        # re-solve (see SolverConfig.dual_ls_warm).
-        dual_ls_warm=True,
+        # Measured r5 (tools/dbg_mpc_shift.py): the ~26-iteration
+        # re-solve tax was NOT the shift's dual defect (a guarded
+        # equality-multiplier LS correction changed nothing) but
+        # ill-conditioned f32 KKT systems right after the shift —
+        # GCR residuals of 33-140 producing rejected garbage
+        # directions and delta_w churn through ~10 iterations.  Two
+        # leaf knobs fix it: start the re-solve barrier one decade
+        # higher (mu 1e-4, still within 2 barrier stages of the
+        # convergence window) and start the inertia regularization at
+        # delta_w = 1e-4 instead of the cold 1e-8 (it decays on
+        # healthy steps within ~6 iterations).  26 -> 12 iterations
+        # on the instrumented shifted re-solve.
+        delta_w=jnp.asarray(resolve_delta_w, jnp.float32).astype(
+            cfg.delta_w.dtype),
     )
     if resolve_tol is not None:
         # Re-solve accuracy is a control-grade knob: the plan is
@@ -182,6 +191,12 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
         # Re-anchor the shifted warm start's first state at the
         # measured state.
         W_ws = W_prev.at[0, L.sl_x].set(x)
+        # (A barrier-escalating retry after a failed period was
+        # measured and REJECTED r5: restarting the next re-solve at
+        # mu = 1e-2 from the stale shifted plan needs ~5 barrier
+        # stages to re-enter the convergence window, usually exceeds
+        # the cap, and turns one stale period into a cascade —
+        # single-rollout step convergence 0.967 -> 0.633.)
         res = ipm.solve_single(spec_k, cfg_warm, W_ws,
                                duals0=duals_prev)
         ok = res.status == ipm.STATUS_CONVERGED
@@ -218,7 +233,7 @@ def run(spec: ProblemSpec, cfg: SolverConfig, n_steps: int,
 
 
 def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
-              W0, disturbance=None, resolve_mu: float = 1e-5,
+              W0, disturbance=None, resolve_mu: float = 1e-4,
               resolve_max_iter: int = 60,
               resolve_tol: float | None = None):
     """Fleet MPC: batched rescued initial plans + vmapped closed loops.
@@ -230,12 +245,7 @@ def run_fleet(specs: ProblemSpec, cfg: SolverConfig, n_steps: int,
     steps) get the neighbor-seeded second chance before any closed
     loop starts.  W0: [B, N+1, nw] stacked warm starts.
     """
-    # Initial plans are latency-insensitive (precomputed before the
-    # closed loops): give the rescue rounds the full iteration budget
-    # (the bench-tuned 25-iteration rescue cap measurably drops lanes
-    # here — r5: 124/128 vs 128/128 initial plans).
-    res0 = ipm.solve_batch_rescued(specs, cfg, W0,
-                                   rescue_max_iter=cfg.max_iter)
+    res0 = ipm.solve_batch_rescued(specs, cfg, W0)
     kw = dict(resolve_mu=resolve_mu, resolve_max_iter=resolve_max_iter,
               resolve_tol=resolve_tol)
     if disturbance is None:

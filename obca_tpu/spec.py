@@ -707,8 +707,10 @@ def randomized_parallel_parking_specs(B, n_layouts=8, seed=0, N=80,
     the second scenario family of the config-4 sweep (VERDICT r4 weak
     #6: 'randomized obstacles' that never vary family or topology).
 
-    Per layout: slot half-length 3.6-4.4 m (canonical 4.0 — the 4.7 m
-    car keeps >= 1.2 m of total swing margin at the minimum), slot
+    Per layout: slot half-length 3.85-4.4 m (canonical 4.0 — the
+    4.7 m car keeps >= 1.5 m of swing margin per side at the minimum;
+    a measured 3.79 draw defeats even the f64 oracle, see the draw
+    comment below), slot
     center +-0.6 m, curb top 2.3-2.7 m, block tops 4.8-5.2 m; with
     ``vary_topology`` the slot-entrance corners may be beveled
     (5-vertex blocks) and a parked-car box may stand on the right
@@ -732,7 +734,13 @@ def randomized_parallel_parking_specs(B, n_layouts=8, seed=0, N=80,
     layout_list = []
     layout_verts = []
     for _ in range(n_layouts):
-        gh = rng.uniform(3.6, 4.4)        # slot half-length
+        # Slot half-length: >= 3.85 keeps >= 1.5 m of total swing
+        # margin per side for the 4.7 m car (canonical: 1.65 m).  A
+        # measured 3.79 draw (1.25 m/side) is beyond the single-swing
+        # maneuver family — the f64 oracle itself fails it from the
+        # lattice warm start in 250 iterations — so tighter slots
+        # would need a multi-point maneuver planner, not a solver fix.
+        gh = rng.uniform(3.85, 4.4)       # slot half-length
         xs = rng.uniform(-0.6, 0.6)       # slot center
         yc = rng.uniform(2.3, 2.7)        # curb top
         yb = rng.uniform(4.8, 5.2)        # block tops
