@@ -80,14 +80,22 @@ def main():
     if args.family == "parallel":
         if args.pose_only:
             raise SystemExit("--pose-only is a reverse-family mode")
-        # The parallel family's canonical barrier start is pinned at
-        # mu_init = 1e-3 (warm-start basin pinning — see
-        # spec.parallel_fastpath_config; measured r5: a randomized
-        # parallel lane DIVERGES from mu 0.1 and converges in 122
-        # iterations from 1e-3).
-        cfg = dataclasses.replace(
-            cfg, mu_init=jnp.asarray(1e-3, jnp.float32).astype(
-                cfg.mu_init.dtype))
+        # The parallel family runs its own production configuration
+        # (spec.parallel_fastpath_config): barrier start pinned at
+        # mu_init = 1e-3 (basin pinning — a randomized parallel lane
+        # measurably diverges from 0.1), SOC ON (without it the f32
+        # iterate drifts basins), deeper GCR, and a ~250-iteration
+        # budget (the r5 record run at the reverse family's cap 100 +
+        # SOC-off f32 config converged only 54% — cap-outs, not
+        # failures).
+        from obca_tpu.spec import parallel_fastpath_config
+
+        if args.config == "f32":
+            cfg = parallel_fastpath_config(max_iter=args.max_iter)
+        else:
+            cfg = dataclasses.replace(
+                cfg, mu_init=jnp.asarray(1e-3, jnp.float32).astype(
+                    cfg.mu_init.dtype))
         gen = randomized_parallel_parking_specs
         base = parallel_parking_spec(
             N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,

@@ -24,15 +24,20 @@ from obca_tpu.spec import (SolverConfig, parallel_parking_spec,
 GOLDDIR = os.path.join(os.path.dirname(__file__), "..", "oracle",
                        "goldens")
 
+# (name, spec builder, cfg overrides).  The parallel family's
+# canonical configuration pins the barrier start at mu_init = 1e-3
+# (warm-start basin pinning — spec.parallel_fastpath_config; the
+# golden is generated with the same pin, oracle/gen_goldens.py).
 CASES = [
     ("reverse_parking_dist_N40",
      lambda g: reverse_parking_spec(N=int(g["N"]), Ts=float(g["Ts"]),
-                                    signed=False)),
+                                    signed=False), {}),
     ("parallel_parking_N80",
-     lambda g: parallel_parking_spec(N=int(g["N"]), Ts=float(g["Ts"]))),
+     lambda g: parallel_parking_spec(N=int(g["N"]), Ts=float(g["Ts"])),
+     {"mu_init": 1e-3}),
     ("reverse_parking_freetime_N80",
      lambda g: reverse_parking_spec(N=int(g["N"]), Ts=float(g["Ts"]),
-                                    fix_time=False)),
+                                    fix_time=False), {}),
 ]
 
 
@@ -46,13 +51,15 @@ def _min_clearance(spec, X):
     return min(ds)
 
 
-@pytest.mark.parametrize("name,make_spec", CASES,
+@pytest.mark.parametrize("name,make_spec,cfg_over", CASES,
                          ids=[c[0] for c in CASES])
-def test_canonical_config(name, make_spec):
+def test_canonical_config(name, make_spec, cfg_over):
     g = np.load(os.path.join(GOLDDIR, f"{name}.npz"))
     spec = make_spec(g)
     W0 = jnp.asarray(g["W0"])
-    cfg = SolverConfig(max_iter=250)
+    cfg = SolverConfig(max_iter=250,
+                       **{k: jnp.asarray(v)
+                          for k, v in cfg_over.items()})
     if spec.fix_time:
         res = jax.jit(lambda sp: ipm.solve_single(sp, cfg, W0))(spec)
     else:

@@ -97,6 +97,10 @@ def test_obstacles_padding():
     assert float(obs.obs_mask.sum()) == 2.0
     assert float(obs.face_mask[0].sum()) == 4.0
     assert float(obs.face_mask[1].sum()) == 3.0
-    # Padded faces are the inactive halfspace 0'y <= 1.
+    # Padded faces are (A = 0, b = 0): trivially-true halfspaces that
+    # contribute exactly NOTHING to the dual OBCA terms.  (b = 1 let a
+    # negative padded lambda buy fake clearance through the dist row's
+    # -lam*b term — the r5 padded-face leak; see
+    # spec.obstacles_from_vertices.)
     np.testing.assert_allclose(np.asarray(obs.A[2]), 0.0)
-    np.testing.assert_allclose(np.asarray(obs.b[2]), 1.0)
+    np.testing.assert_allclose(np.asarray(obs.b[2]), 0.0)

@@ -147,8 +147,10 @@ def main():
         k: round(v / 1e3 / K, 3)
         for k, v in sorted(phases.items(), key=lambda kv: -kv[1])}
     out["trace_device_ms_per_iter"] = round(total_us / 1e3 / K, 3)
+    # Host/dispatch share = untraced wall minus device time (the
+    # traced run's own wall is inflated by profiler overhead).
     out["ms_host_dispatch_gap"] = round(
-        wall * 1e3 / K - total_us / 1e3 / K, 3)
+        out["ms_per_iter"] - total_us / 1e3 / K, 3)
     # The only device time not attributed to a named phase/kernel.
     out["ms_unattributed"] = out["trace_phase_ms_per_iter"].get(
         "other", 0.0)

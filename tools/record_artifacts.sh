@@ -31,7 +31,7 @@ python bench/report.py "${SWEEP_DIR}_topo" \
 cat bench/out/sweep_report_topo.json
 timeout 4200 python bench/run_sweep.py --batch 1024 --shard-size 128 \
     --config f32 --passes 2 --family parallel --vary-topology \
-    --max-iter 100 --out "${SWEEP_DIR}_par"
+    --max-iter 250 --out "${SWEEP_DIR}_par"
 cp "${SWEEP_DIR}_par/metrics.jsonl" bench/out/sweep_metrics_par.jsonl
 python bench/report.py "${SWEEP_DIR}_par" \
     > bench/out/sweep_report_par.json
@@ -69,6 +69,9 @@ cat bench/out/bench_mixed.json
 
 # Headline bench (also checks on-chip parity vs the f64 golden).
 timeout 2400 python bench.py | tee bench/out/bench_headline.json
+
+# Pass-1 cap robustness window (VERDICT r4 weak #5).
+timeout 9000 python tools/cap_sweep.py
 
 # Scaling report LAST so its single-chip row reflects the same build
 # the headline was recorded with (VERDICT r4 weak #8).
