@@ -80,22 +80,22 @@ def main():
     if args.family == "parallel":
         if args.pose_only:
             raise SystemExit("--pose-only is a reverse-family mode")
-        # The parallel family runs its own production configuration
-        # (spec.parallel_fastpath_config): barrier start pinned at
-        # mu_init = 1e-3 (basin pinning — a randomized parallel lane
-        # measurably diverges from 0.1), SOC ON (without it the f32
-        # iterate drifts basins), deeper GCR, and a ~250-iteration
-        # budget (the r5 record run at the reverse family's cap 100 +
-        # SOC-off f32 config converged only 54% — cap-outs, not
-        # failures).
-        from obca_tpu.spec import parallel_fastpath_config
-
-        if args.config == "f32":
-            cfg = parallel_fastpath_config(max_iter=args.max_iter)
-        else:
-            cfg = dataclasses.replace(
-                cfg, mu_init=jnp.asarray(1e-3, jnp.float32).astype(
-                    cfg.mu_init.dtype))
+        # Parallel-family sweep configuration, chosen by a one-shard
+        # knob probe (tools/dbg_par_sweep_cfg.py, r5): barrier start
+        # pinned at mu_init = 1e-3 (cold pass-1 triples vs 0.1:
+        # 37-47 vs 13/128) plus the delta_w = 1e-4 inertia init (the
+        # same stabilizer the MPC re-solves use; +10 lanes).  The
+        # golden-instance parallel_fastpath statics (SOC on, m=16)
+        # measured NO gain on cold randomized draws over the plain
+        # f32 statics and run ~40% slower, so the sweep keeps the
+        # f32 statics with a 250-iteration budget (the r4-style cap
+        # 100 left half the lanes capped out, not failed).
+        cfg = dataclasses.replace(
+            cfg,
+            mu_init=jnp.asarray(1e-3, jnp.float32).astype(
+                cfg.mu_init.dtype),
+            delta_w=jnp.asarray(1e-4, jnp.float32).astype(
+                cfg.delta_w.dtype))
         gen = randomized_parallel_parking_specs
         base = parallel_parking_spec(
             N=args.N, Ts=24.0 / args.N, dtype=cfg.dtype,
@@ -237,52 +237,60 @@ def one_pass(args, log, shard_specs, run_shard, save_shard, n_shards,
         W_all = gather("W")
         duals_all = {k: gather(k) for k in ("nu", "s", "zL", "zU")}
 
-        # Pad the rescue batch to the shard size (one compiled shape).
+        # Rescue EVERY failed lane, in shard-size chunks (one compiled
+        # shape).  r5 bug: a single np.resize(failed, 128) batch only
+        # ever rescued the FIRST 128 failed lanes per round — fine for
+        # the reverse family's ~20 failures, but the parallel family's
+        # 672 pass-1 failures left 544 lanes untouched every round.
         R = shard_size
-        idx = np.resize(failed, R)        # repeats if fewer than R
-        didx = np.resize(donors, R)
-        specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
-                               specs_flat)
-        W_seed = jnp.asarray(W_all[didx], cfg.dtype)
-        duals_seed = ipm.DualState(
-            nu=jnp.asarray(duals_all["nu"][didx], cfg.dtype),
-            s=jnp.asarray(duals_all["s"][didx], cfg.dtype),
-            zL=jnp.asarray(duals_all["zL"][didx], cfg.dtype),
-            zU=jnp.asarray(duals_all["zU"][didx], cfg.dtype),
-        )
-        res_r = rescue(specs_r, W_seed, duals_seed)
-        jax.block_until_ready(res_r.U)
-        dt = time.perf_counter() - t0
-
-        # Scatter back into the in-memory shards (first occurrence of
-        # each failed lane wins); npz rewritten once after the loop.
-        st_r = np.asarray(res_r.status)
         recovered = 0
         seen = set()
-        for j, lane in enumerate(idx[: failed.size]):
-            lane = int(lane)
-            if st_r[j] != 0 or lane in seen:
-                continue
-            seen.add(lane)
-            recovered += 1
-            si, li = divmod(lane, shard_size)
-            z = shards[si]
-            take = jax.tree.map(lambda a: a[j], res_r)
-            z["X"][li] = np.asarray(take.X)
-            z["U"][li] = np.asarray(take.U)
-            z["W"][li] = np.asarray(take.W)
-            z["status"][li] = int(take.status)
-            z["iters"][li] += int(take.iters)
-            z["err"][li] = float(take.err)
-            z["obj"][li] = float(take.obj)
-            z["nu"][li] = np.asarray(take.duals.nu)
-            z["s"][li] = np.asarray(take.duals.s)
-            z["zL"][li] = np.asarray(take.duals.zL)
-            z["zU"][li] = np.asarray(take.duals.zU)
+        iters_max_r = 0
+        for c0 in range(0, failed.size, R):
+            chunk = failed[c0:c0 + R]
+            idx = np.resize(chunk, R)     # repeats if fewer than R
+            didx = np.resize(donors[c0:c0 + R], R)
+            specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
+                                   specs_flat)
+            W_seed = jnp.asarray(W_all[didx], cfg.dtype)
+            duals_seed = ipm.DualState(
+                nu=jnp.asarray(duals_all["nu"][didx], cfg.dtype),
+                s=jnp.asarray(duals_all["s"][didx], cfg.dtype),
+                zL=jnp.asarray(duals_all["zL"][didx], cfg.dtype),
+                zU=jnp.asarray(duals_all["zU"][didx], cfg.dtype),
+            )
+            res_r = rescue(specs_r, W_seed, duals_seed)
+            jax.block_until_ready(res_r.U)
+            st_r = np.asarray(res_r.status)
+            iters_max_r = max(iters_max_r,
+                              int(np.asarray(res_r.iters).max()))
+            # Scatter back into the in-memory shards (first occurrence
+            # wins); npz rewritten once after the loop.
+            for j, lane in enumerate(idx[: chunk.size]):
+                lane = int(lane)
+                if st_r[j] != 0 or lane in seen:
+                    continue
+                seen.add(lane)
+                recovered += 1
+                si, li = divmod(lane, shard_size)
+                z = shards[si]
+                take = jax.tree.map(lambda a: a[j], res_r)
+                z["X"][li] = np.asarray(take.X)
+                z["U"][li] = np.asarray(take.U)
+                z["W"][li] = np.asarray(take.W)
+                z["status"][li] = int(take.status)
+                z["iters"][li] += int(take.iters)
+                z["err"][li] = float(take.err)
+                z["obj"][li] = float(take.obj)
+                z["nu"][li] = np.asarray(take.duals.nu)
+                z["s"][li] = np.asarray(take.duals.s)
+                z["zL"][li] = np.asarray(take.duals.zL)
+                z["zU"][li] = np.asarray(take.duals.zU)
+        dt = time.perf_counter() - t0
         log(dict(event="rescue", round=round_i,
                  wall_s=round(dt, 3),
                  n_failed=int(failed.size), n_recovered=recovered,
-                 rescue_iters_max=int(np.asarray(res_r.iters).max())))
+                 rescue_iters_max=iters_max_r))
         if not recovered:
             break
 
@@ -300,41 +308,46 @@ def one_pass(args, log, shard_specs, run_shard, save_shard, n_shards,
                - feats[conv][None, :, :]) ** 2).sum(-1)
         donors = conv[np.argmin(d2, axis=1)]
         W_all = np.concatenate([z["W"] for z in shards])
-        idx = np.resize(failed, shard_size)
-        didx = np.resize(donors, shard_size)
-        specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
-                               specs_flat)
-        W_seed = jnp.asarray(W_all[didx], cfg.dtype)
-        res_r = full_resolve(specs_r, W_seed)
-        jax.block_until_ready(res_r.U)
-        dt = time.perf_counter() - t0
-        st_r = np.asarray(res_r.status)
         recovered = 0
         seen = set()
-        for j, lane in enumerate(idx[: failed.size]):
-            lane = int(lane)
-            if st_r[j] != 0 or lane in seen:
-                continue
-            seen.add(lane)
-            recovered += 1
-            si, li = divmod(lane, shard_size)
-            z = shards[si]
-            take = jax.tree.map(lambda a: a[j], res_r)
-            z["X"][li] = np.asarray(take.X)
-            z["U"][li] = np.asarray(take.U)
-            z["W"][li] = np.asarray(take.W)
-            z["status"][li] = int(take.status)
-            z["iters"][li] += int(take.iters)
-            z["err"][li] = float(take.err)
-            z["obj"][li] = float(take.obj)
-            z["nu"][li] = np.asarray(take.duals.nu)
-            z["s"][li] = np.asarray(take.duals.s)
-            z["zL"][li] = np.asarray(take.duals.zL)
-            z["zU"][li] = np.asarray(take.duals.zU)
+        iters_max_r = 0
+        for c0 in range(0, failed.size, shard_size):
+            chunk = failed[c0:c0 + shard_size]
+            idx = np.resize(chunk, shard_size)
+            didx = np.resize(donors[c0:c0 + shard_size], shard_size)
+            specs_r = jax.tree.map(lambda a: a[jnp.asarray(idx)],
+                                   specs_flat)
+            W_seed = jnp.asarray(W_all[didx], cfg.dtype)
+            res_r = full_resolve(specs_r, W_seed)
+            jax.block_until_ready(res_r.U)
+            st_r = np.asarray(res_r.status)
+            iters_max_r = max(iters_max_r,
+                              int(np.asarray(res_r.iters).max()))
+            for j, lane in enumerate(idx[: chunk.size]):
+                lane = int(lane)
+                if st_r[j] != 0 or lane in seen:
+                    continue
+                seen.add(lane)
+                recovered += 1
+                si, li = divmod(lane, shard_size)
+                z = shards[si]
+                take = jax.tree.map(lambda a: a[j], res_r)
+                z["X"][li] = np.asarray(take.X)
+                z["U"][li] = np.asarray(take.U)
+                z["W"][li] = np.asarray(take.W)
+                z["status"][li] = int(take.status)
+                z["iters"][li] += int(take.iters)
+                z["err"][li] = float(take.err)
+                z["obj"][li] = float(take.obj)
+                z["nu"][li] = np.asarray(take.duals.nu)
+                z["s"][li] = np.asarray(take.duals.s)
+                z["zL"][li] = np.asarray(take.duals.zL)
+                z["zU"][li] = np.asarray(take.duals.zU)
+        dt = time.perf_counter() - t0
         log(dict(event="rescue", round="full-barrier",
                  wall_s=round(dt, 3), n_failed=int(failed.size),
                  n_recovered=recovered,
-                 rescue_iters_max=int(np.asarray(res_r.iters).max())))
+                 rescue_iters_max=iters_max_r))
 
     # Forensics for permanently-failed lanes (VERDICT r4 weak #9): log
     # each one's layout draw (x0/xF/obstacle offsets) + regeneration

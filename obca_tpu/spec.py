@@ -762,11 +762,18 @@ def randomized_parallel_parking_specs(B, n_layouts=8, seed=0, N=80,
             [(-15.0, yc), (15.0, yc), (15.0, 0.0), (-15.0, 0.0)],
         ]
         if vary_topology and rng.random() < 0.5:
-            # Parked-car box on the right block, clear of the slot.
-            x0b = xr + rng.uniform(2.5, 5.0)
-            wb, hb = rng.uniform(1.8, 2.4), rng.uniform(1.4, 1.8)
-            vlist.append([(x0b, yb + hb), (x0b + wb, yb + hb),
-                          (x0b + wb, yb), (x0b, yb)])
+            # Opposite-side parked car: a box at the TOP of the street
+            # (y >= 9), leaving the y ~ [block top, 9] driving lane
+            # free.  (The r5 first cut put this box ON the right block
+            # top — inside the pull-out corridor the maneuver swings
+            # through; measured: shard convergence 105/128 with the
+            # box there vs 127/128 without.  A car parked on top of
+            # the parked row is also not a street.)
+            x0b = rng.uniform(-2.0, 6.0)
+            wb = rng.uniform(4.0, 7.0)
+            y0b = rng.uniform(8.9, 9.3)
+            vlist.append([(x0b, 10.0), (x0b + wb, 10.0),
+                          (x0b + wb, y0b), (x0b, y0b)])
         layout_verts.append(vlist)
         obs = obstacles_from_vertices(vlist, max_obs=mo, max_faces=mf,
                                       dtype=dtype)
