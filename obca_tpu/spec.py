@@ -211,11 +211,14 @@ class SolverConfig:
     # typically saves tens of first-barrier iterations.
     dual_init_ls: bool = True
     # Apply the equality-multiplier LS as a *correction* on top of
-    # caller-provided warm duals too (MPC re-solves: repairs the stage
-    # shift's residual dual-stationarity defects for one extra
-    # factor+solve; guarded — kept only when it halves the dual
-    # residual).  Off by default: one-shot warm solves (rescue pass)
-    # measured no benefit for the extra solve.
+    # caller-provided warm duals (guarded — kept only when it halves
+    # the dual residual).  Off by default, and measured to be a NO-OP
+    # on the MPC shifted re-solve (r5, tools/dbg_mpc_shift.py:
+    # identical iteration traces with/without — the shift's residual
+    # dual defect was not the re-solve tax; ill-conditioned f32
+    # systems at the barrier floor were, fixed by resolve_mu/delta_w
+    # instead).  Retained for callers with genuinely poor warm
+    # equality multipliers.
     dual_ls_warm: bool = False
     # Accept the full fraction-to-boundary step whenever it strictly
     # reduces the KKT error, bypassing the merit test (a cheap watchdog;
